@@ -1,0 +1,91 @@
+"""gf4/fp8 quantization format tests (golden math vs independent bit decoding).
+
+The gf4 format contract is defined in calm_tpu/quant.py; these tests verify
+round-trip error bounds, bit-level packing, and edge cases (zero groups,
+negative maxima, inf/nan-free behavior).
+"""
+
+import numpy as np
+import ml_dtypes
+import pytest
+
+from calm_tpu import quant
+
+FP8 = np.dtype(ml_dtypes.float8_e5m2)
+
+
+def manual_gf4_decode_value(word: int, k: int) -> float:
+    """Independent scalar decoder following the format spec."""
+    scale = np.uint8(word & 0xFF).reshape(()).view(FP8).astype(np.float32) / -4.0
+    code = (word >> (8 + 3 * k)) & 7
+    return float((int(code) - 4) * scale)
+
+
+def test_gf4_roundtrip_error(rng):
+    x = rng.standard_normal((64, 256)).astype(np.float32)
+    words = quant.gf4_quantize(x)
+    assert words.dtype == np.int32
+    assert words.shape == (64, 32)
+    y = quant.gf4_dequantize(words)
+    assert y.shape == x.shape
+    # 3-bit codes cover [-m, 0.75*m] in steps of m/4 where m is the fp8-rounded
+    # group max; worst case is a value near -max when fp8 rounded the scale
+    # down by its full 12.5% relative error: |-max - (-0.75*0.875*max)| = 0.34*max
+    gmax = np.abs(x.reshape(64, 32, 8)).max(-1, keepdims=True)
+    err = np.abs(y - x).reshape(64, 32, 8)
+    assert np.all(err <= gmax * 0.35 + 1e-6)
+
+
+def test_gf4_max_element_exact_to_fp8(rng):
+    x = rng.standard_normal((8, 64)).astype(np.float32)
+    words = quant.gf4_quantize(x)
+    y = quant.gf4_dequantize(words)
+    gx = x.reshape(8, 8, 8)
+    gy = y.reshape(8, 8, 8)
+    idx = np.abs(gx).argmax(-1)
+    got = np.take_along_axis(gy, idx[..., None], -1)
+    want = np.take_along_axis(gx, idx[..., None], -1).astype(FP8).astype(np.float32)
+    # the abs-max element encodes as code 0 -> reproduces its fp8 rounding exactly
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_gf4_zero_group():
+    x = np.zeros((1, 8), dtype=np.float32)
+    words = quant.gf4_quantize(x)
+    y = quant.gf4_dequantize(words)
+    np.testing.assert_array_equal(y, x)
+
+
+def test_gf4_bit_layout(rng):
+    x = rng.standard_normal((4, 32)).astype(np.float32)
+    words = quant.gf4_quantize(x).view(np.uint32)
+    y = quant.gf4_dequantize(words.view(np.int32))
+    for r in range(4):
+        for g in range(4):
+            for k in range(8):
+                assert y[r, g * 8 + k] == pytest.approx(
+                    manual_gf4_decode_value(int(words[r, g]), k), abs=0)
+
+
+def test_gf4_negative_max():
+    x = np.array([[-10.0, 1, 2, 3, -1, -2, -3, 5]], dtype=np.float32)
+    y = quant.gf4_dequantize(quant.gf4_quantize(x))
+    assert y[0, 0] == pytest.approx(-10.0, rel=0.07)
+    # signs preserved
+    assert np.all(np.sign(y[0, [1, 2, 3, 7]]) >= 0)
+
+
+def test_fp8_roundtrip(rng):
+    x = rng.standard_normal(1024).astype(np.float32)
+    q = quant.fp8_quantize(x)
+    assert q.dtype == FP8
+    y = quant.fp8_dequantize(q.view(np.uint8))
+    # e5m2: 2 mantissa bits -> relative error <= 2^-3
+    nz = x != 0
+    assert np.all(np.abs(y[nz] - x[nz]) <= np.abs(x[nz]) * 0.125 + 1e-30)
+
+
+def test_dtype_bits():
+    assert quant.dtype_bits("fp16") == 16
+    assert quant.dtype_bits("fp8") == 8
+    assert quant.dtype_bits("gf4") == 4
