@@ -88,6 +88,7 @@ class ModelConfig:
             act_gelu=md.get("act_type", "silu") == "gelu",
             norm_ln=norm_type.startswith("layernorm"),
             norm_par=norm_type == "layernorm_par",
+            qkv_clip=qkv_clip,
             arch=md.get("arch", "llama"),
             dtype=md.get("dtype", "fp16"),
             bos_token_id=int(md.get("bos_token_id", -1)),

@@ -1,0 +1,432 @@
+"""The parameterized decoder-only transformer, TPU-native.
+
+One forward function covers every supported architecture family
+(Llama/Mistral/Mixtral/Qwen2/Yi/OLMo(+E)/Gemma/MiniCPM/Cohere/InternLM2/
+DBRX/Phi3/Xverse) through ModelConfig knobs, mirroring the reference's single
+parameterized transformer (src/model.h:12-30, src/infer.c:311-472) —
+re-designed as a pure-functional JAX program:
+
+- weights are a pytree of QTensors stacked over layers, so the whole layer
+  stack runs under one ``lax.scan`` — the TPU analogue of the reference's
+  "one cooperative kernel per token" (src/infer.cu:404-626): a single jitted
+  program per decode step, no per-layer dispatch overhead
+- the KV cache is a donated buffer updated with scatters; attention sinks +
+  rolling window (StreamingLLM, reference src/infer.c:329-332,383-394) are
+  computed from a traced ``pos`` so no recompilation ever happens mid-stream
+- batched prefill (B, T) is first-class (the reference processes prompts
+  serially, README.md:80 — here prefill rides the MXU)
+- tensor/expert parallelism (new scope vs the single-GPU reference,
+  SURVEY.md §2.3) is expressed with explicit collectives: the same layer code
+  runs under ``shard_map`` with a ShardingPlan naming the mesh axes; local
+  dimensions are derived from the (sharded) weight shapes, and partial sums
+  close with one psum per residual write.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from calm_tpu.config import ModelConfig
+from calm_tpu.container import TensorFile
+from calm_tpu.ops.norms import rmsnorm
+from calm_tpu.ops.qmm import QTensor, embed_lookup, qmatmul
+from calm_tpu.ops.rope import rope_interleaved
+from calm_tpu.parallel.plan import NO_SHARDING, ShardingPlan
+
+KV_SINKS = 2  # attention sinks kept live in the rolling window
+
+
+def _shallow_pytree(cls):
+    """Register a dataclass as a pytree over its (non-recursed) fields."""
+    def flatten(self):
+        return tuple(getattr(self, f.name) for f in dataclasses.fields(self)), None
+
+    cls.tree_flatten = flatten
+    cls.tree_unflatten = classmethod(lambda c, aux, ch: c(*ch))
+    return jax.tree_util.register_pytree_node_class(cls)
+
+
+@_shallow_pytree
+@dataclasses.dataclass
+class LayerWeights:
+    attn_norm: Any   # (L, D) f32
+    ffn_norm: Any    # (L, D) f32 (zeros when norm_par)
+    wq: QTensor      # (L, q_dim, D)
+    wk: QTensor      # (L, kv_dim, D)
+    wv: QTensor      # (L, kv_dim, D)
+    wo: QTensor      # (L, D, q_dim)
+    bq: Any          # (L, q_dim) f32 (zeros when absent)
+    bk: Any          # (L, kv_dim) f32
+    bv: Any          # (L, kv_dim) f32
+    w1: QTensor      # (L, [E,] H, D)
+    w2: QTensor      # (L, [E,] D, H)
+    w3: QTensor      # (L, [E,] H, D)
+    moegate: Any     # QTensor (L, E, D) or None
+
+
+@_shallow_pytree
+@dataclasses.dataclass
+class Weights:
+    embed: QTensor       # (V, D)
+    layers: LayerWeights
+    final_norm: Any      # (D,) f32
+    output: QTensor      # (V, D); may alias embed (tied)
+
+
+@_shallow_pytree
+@dataclasses.dataclass
+class KVCache:
+    k: jax.Array  # (L, B, S, KVH, HD)
+    v: jax.Array  # (L, B, S, KVH, HD)
+
+    @classmethod
+    def create(cls, cfg: ModelConfig, batch: int = 1, dtype=jnp.bfloat16,
+               tp_size: int = 1) -> "KVCache":
+        shape = (cfg.n_layers, batch, cfg.seq_len,
+                 cfg.n_kv_heads // tp_size, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ---------------------------------------------------------------------------
+# weight loading
+# ---------------------------------------------------------------------------
+
+
+def _file_dtype(fmt: str):
+    import ml_dtypes
+    return {"fp16": np.dtype(np.float16),
+            "fp8": np.dtype(ml_dtypes.float8_e5m2),
+            "gf4": np.dtype(np.int32)}[fmt]
+
+
+def load_weights(tf: TensorFile, cfg: ModelConfig) -> Weights:
+    """Wire container tensors into the device pytree.
+
+    Name schema and shape validation mirror the reference loader
+    (src/run.c:71-117): gf4 tensors pack the contraction axis 8:1; the qkv
+    bias rides as one fused tensor in the container and is split here so each
+    section can shard with its projection.
+    """
+    fmt = cfg.dtype
+    wdt = _file_dtype(fmt)
+    gs = 8 if fmt == "gf4" else 1
+    D, Hd, Q, KV, V, E = (cfg.dim, cfg.hidden_dim, cfg.q_dim, cfg.kv_dim,
+                          cfg.vocab_size, cfg.n_experts)
+
+    def qget(name, layer, shape):
+        return np.asarray(tf.get(name, layer, wdt, shape))
+
+    embed = QTensor.from_numpy(qget("model.embed.weight", None, (V, D // gs)), fmt)
+
+    def stack(fn):
+        return np.stack([fn(l) for l in range(cfg.n_layers)])
+
+    attn_norm = stack(lambda l: np.asarray(
+        tf.get("model.layers.%d.attn.norm.weight", l, np.float32, (D,))))
+    if cfg.norm_par:
+        ffn_norm = np.zeros_like(attn_norm)
+    else:
+        ffn_norm = stack(lambda l: np.asarray(
+            tf.get("model.layers.%d.mlp.norm.weight", l, np.float32, (D,))))
+
+    wq = stack(lambda l: qget("model.layers.%d.attn.wq.weight", l, (Q, D // gs)))
+    wk = stack(lambda l: qget("model.layers.%d.attn.wk.weight", l, (KV, D // gs)))
+    wv = stack(lambda l: qget("model.layers.%d.attn.wv.weight", l, (KV, D // gs)))
+    wo = stack(lambda l: qget("model.layers.%d.attn.wo.weight", l, (D, Q // gs)))
+
+    if tf.find("model.layers.%d.attn.wqkv.bias", 0):
+        bqkv = stack(lambda l: np.asarray(
+            tf.get("model.layers.%d.attn.wqkv.bias", l, np.float32, (Q + 2 * KV,))))
+    else:
+        bqkv = np.zeros((cfg.n_layers, Q + 2 * KV), np.float32)
+    bq, bk, bv = bqkv[:, :Q], bqkv[:, Q:Q + KV], bqkv[:, Q + KV:]
+
+    if E:
+        w1 = stack(lambda l: qget("model.layers.%d.mlp.w1.weight", l, (E, Hd, D // gs)))
+        w2 = stack(lambda l: qget("model.layers.%d.mlp.w2.weight", l, (E, D, Hd // gs)))
+        w3 = stack(lambda l: qget("model.layers.%d.mlp.w3.weight", l, (E, Hd, D // gs)))
+        moegate = QTensor.from_numpy(
+            stack(lambda l: qget("model.layers.%d.moegate.weight", l, (E, D // gs))), fmt)
+    else:
+        w1 = stack(lambda l: qget("model.layers.%d.mlp.w1.weight", l, (Hd, D // gs)))
+        w2 = stack(lambda l: qget("model.layers.%d.mlp.w2.weight", l, (D, Hd // gs)))
+        w3 = stack(lambda l: qget("model.layers.%d.mlp.w3.weight", l, (Hd, D // gs)))
+        moegate = None
+
+    final_norm = np.asarray(tf.get("model.norm.weight", None, np.float32, (D,)))
+
+    if tf.find("model.output.weight") is None:
+        output = embed  # tied embeddings
+    else:
+        output = QTensor.from_numpy(
+            qget("model.output.weight", None, (V, D // gs)), fmt)
+
+    layers = LayerWeights(
+        attn_norm=jnp.asarray(attn_norm), ffn_norm=jnp.asarray(ffn_norm),
+        wq=QTensor.from_numpy(wq, fmt), wk=QTensor.from_numpy(wk, fmt),
+        wv=QTensor.from_numpy(wv, fmt), wo=QTensor.from_numpy(wo, fmt),
+        bq=jnp.asarray(bq), bk=jnp.asarray(bk), bv=jnp.asarray(bv),
+        w1=QTensor.from_numpy(w1, fmt), w2=QTensor.from_numpy(w2, fmt),
+        w3=QTensor.from_numpy(w3, fmt), moegate=moegate)
+
+    return Weights(embed=embed, layers=layers,
+                   final_norm=jnp.asarray(final_norm), output=output)
+
+
+# ---------------------------------------------------------------------------
+# forward pass
+# ---------------------------------------------------------------------------
+
+
+def _psum(x, axes: tuple[str, ...]):
+    return jax.lax.psum(x, axes) if axes else x
+
+
+def _norm(cfg: ModelConfig, x, weight):
+    return rmsnorm(x, weight, cfg.norm_eps, subtract_mean=cfg.norm_ln)
+
+
+def _act(cfg: ModelConfig, x):
+    if cfg.act_gelu:
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.silu(x)
+
+
+def _clip(cfg: ModelConfig, x):
+    if math.isfinite(cfg.qkv_clip):
+        return jnp.clip(x, -cfg.qkv_clip, cfg.qkv_clip)
+    return x
+
+
+def _embed(cfg: ModelConfig, embed: QTensor, tokens, plan: ShardingPlan):
+    """Token embedding; vocab-sharded under tp with masked lookup + psum."""
+    if plan.tp is None:
+        return embed_lookup(tokens, embed)
+    v_local = embed.data.shape[0]
+    off = jax.lax.axis_index(plan.tp) * v_local
+    lid = tokens - off
+    ok = (lid >= 0) & (lid < v_local)
+    rows = embed_lookup(jnp.clip(lid, 0, v_local - 1), embed)
+    return jax.lax.psum(rows * ok[..., None], plan.tp)
+
+
+def _attention(cfg: ModelConfig, q, k_cache, v_cache, q_pos, kv_len):
+    """GQA attention over the (possibly rolled) cache — fully head-local
+    (cache is sharded over kv-heads under tp, so no collective here).
+
+    q: (B, T, H, hd); caches: (B, S, KVH, hd); q_pos: (B, T) absolute
+    positions of the queries; kv_len: (B,) valid cache rows.
+
+    Masking rule: cache row s is visible to query t iff s < kv_len[b] and,
+    when the query is part of an in-window prefill (q_pos < S), s <= q_pos
+    (causality). For rolled decode (q_pos >= S) every valid row is visible —
+    cache rows are not time-ordered after wrap but attention is
+    position-agnostic post-RoPE (reference: src/infer.c:330-332).
+    """
+    B, T, H, hd = q.shape
+    S, KVH = k_cache.shape[1], k_cache.shape[2]
+    M = H // KVH
+
+    qf = q.reshape(B, T, KVH, M, hd).astype(jnp.float32)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+
+    scores = jnp.einsum("btkmh,bskh->bkmts", qf, kf) / math.sqrt(hd)
+
+    s_idx = jnp.arange(S)[None, None, :]                       # (1, 1, S)
+    valid = s_idx < kv_len[:, None, None]                      # (B, 1, S)
+    causal = s_idx <= q_pos[:, :, None]                        # (B, T, S)
+    rolled = (q_pos[:, :, None] >= S)                          # wrap: all valid rows visible
+    mask = valid & (causal | rolled)                           # (B, T, S)
+
+    scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
+    att = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkmts,bskh->btkmh", att, vf)
+    return out.reshape(B, T, H * hd)
+
+
+def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, plan: ShardingPlan):
+    """Top-k routed MoE ffn; returns the (partial) residual contribution.
+
+    Routing mirrors the reference gate (src/infer.c:277-305): softmax over
+    expert logits, top-k, weights renormalized over the selected set. Under
+    ep the expert axis is sharded: routing is computed replicated, each shard
+    evaluates only its resident experts (masked), and the closing psum
+    reassembles (reference has no EP — single-GPU gathers all active experts,
+    src/infer.cu:597-620).
+    """
+    gate = qmatmul(xb2, lw.moegate)                        # (B, T, E) replicated
+    top_vals, top_idx = jax.lax.top_k(gate, cfg.n_experts_ac)
+    moe_w = jax.nn.softmax(top_vals, axis=-1)              # (B, T, A)
+
+    e_local = lw.w1.data.shape[0]                          # local expert count
+    if plan.ep is not None:
+        off = jax.lax.axis_index(plan.ep) * e_local
+    else:
+        off = 0
+
+    def expert_ffn(lidx, xin):                             # lidx scalar, xin (D,)
+        w1 = QTensor(lw.w1.data[lidx], lw.w1.fmt)
+        w2 = QTensor(lw.w2.data[lidx], lw.w2.fmt)
+        w3 = QTensor(lw.w3.data[lidx], lw.w3.fmt)
+        h = _act(cfg, qmatmul(xin, w1)) * qmatmul(xin, w3)
+        return qmatmul(h, w2)                              # (D,) partial over tp
+
+    def per_token(eidxs, wts, xin):                        # (A,), (A,), (D,)
+        def one(e, wa):
+            lid = e - off
+            ok = ((lid >= 0) & (lid < e_local)).astype(jnp.float32)
+            out = expert_ffn(jnp.clip(lid, 0, e_local - 1), xin)
+            return out * (wa * ok)
+        return jax.vmap(one)(eidxs, wts).sum(0)            # (D,)
+
+    return jax.vmap(jax.vmap(per_token))(top_idx, moe_w, xb2)  # (B, T, D)
+
+
+def _layer(cfg: ModelConfig, x, lw: LayerWeights, kc, vc, pos, kv_pos, kv_len,
+           kv_dtype, rolling: bool, plan: ShardingPlan):
+    """One transformer layer on a (B, T, D) activation wave.
+
+    kc/vc: (B, S, KVH_local, hd) cache slices for this layer; pos: (B, T)
+    absolute positions; kv_pos: (B, T) cache write rows; kv_len: (B,).
+    Local head/hidden dims come from the weight shards. Returns (x, kc, vc).
+    """
+    B, T, D = x.shape
+    hd = cfg.head_dim
+    q_local = lw.wq.shape[0]   # q_dim / tp
+    kv_local = lw.wk.shape[0]  # kv_dim / tp
+    H, KVH = q_local // hd, kv_local // hd
+
+    xb = _norm(cfg, x, lw.attn_norm)
+
+    q = qmatmul(xb, lw.wq) + lw.bq
+    k = qmatmul(xb, lw.wk) + lw.bk
+    v = qmatmul(xb, lw.wv) + lw.bv
+    q, k, v = _clip(cfg, q), _clip(cfg, k), _clip(cfg, v)
+
+    q = rope_interleaved(q.reshape(B, T, H, hd), pos, cfg.rope_theta, cfg.rotary_dim)
+    k = rope_interleaved(k.reshape(B, T, KVH, hd), pos, cfg.rope_theta, cfg.rotary_dim)
+    v = v.reshape(B, T, KVH, hd)
+
+    # scatter k/v rows into the cache at kv_pos
+    b_idx = jnp.arange(B)[:, None].repeat(T, 1)
+    kc = kc.at[b_idx, kv_pos].set(k.astype(kv_dtype))
+    vc = vc.at[b_idx, kv_pos].set(v.astype(kv_dtype))
+
+    if rolling:
+        # rotate sink keys forward by one position so their relative RoPE
+        # phase tracks the sliding window (reference: src/infer.c:383-394)
+        sink = kc[:, :KV_SINKS].astype(jnp.float32)
+        rotated = rope_interleaved(sink, jnp.ones((B, KV_SINKS), jnp.int32),
+                                   cfg.rope_theta, cfg.rotary_dim)
+        wrapped = (pos[:, -1] >= cfg.seq_len)[:, None, None, None]
+        kc = kc.at[:, :KV_SINKS].set(
+            jnp.where(wrapped, rotated, sink).astype(kv_dtype))
+
+    att = _attention(cfg, q, kc, vc, pos, kv_len)
+    x = x + _psum(qmatmul(att, lw.wo), (plan.tp,) if plan.tp else ())
+
+    # parallel-norm architectures (Cohere) feed the ffn from the attn-normed
+    # input instead of re-normalizing (reference: src/infer.c:417-420)
+    xb2 = xb if cfg.norm_par else _norm(cfg, x, lw.ffn_norm)
+
+    if cfg.n_experts:
+        ffn = _moe_ffn(cfg, xb2, lw, plan)
+        x = x + _psum(ffn, plan.axes)  # close tp (hidden) and ep (experts)
+    else:
+        h = _act(cfg, qmatmul(xb2, lw.w1)) * qmatmul(xb2, lw.w3)
+        ffn = qmatmul(h, lw.w2)
+        x = x + _psum(ffn, (plan.tp,) if plan.tp else ())
+
+    return x, kc, vc
+
+
+def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,
+             cache: KVCache, rolling: bool, logits_mode: str,
+             plan: ShardingPlan = NO_SHARDING):
+    """Shared forward: tokens/pos/kv_pos (B, T), kv_len (B,)."""
+    kv_dtype = cache.k.dtype
+    x = _embed(cfg, w.embed, tokens, plan)  # (B, T, D)
+
+    def body(x, scanned):
+        lw, kc, vc = scanned
+        x, kc, vc = _layer(cfg, x, lw, kc, vc, pos, kv_pos, kv_len,
+                           kv_dtype, rolling, plan)
+        return x, (kc, vc)
+
+    x, (k_new, v_new) = jax.lax.scan(body, x, (w.layers, cache.k, cache.v))
+    cache = KVCache(k_new, v_new)
+
+    if logits_mode == "none":
+        return None, cache
+
+    if logits_mode == "last":
+        x = x[:, -1:, :]
+    x = _norm(cfg, x, w.final_norm)
+    logits = qmatmul(x, w.output)  # (B, T or 1, V_local)
+    if logits_mode == "last":
+        logits = logits[:, 0, :]
+    return logits, cache
+
+
+def decode_indices(cfg: ModelConfig, pos):
+    """Attention-sink + rolling-window indices from the traced pos, exactly
+    as the reference computes per step (src/infer.c:329-332):
+      kv_sink = pos >= S ? KV_SINKS : 0
+      kv_pos  = kv_sink + (pos - kv_sink) % (S - kv_sink)
+      kv_len  = min(pos + 1, S)
+    """
+    S = cfg.seq_len
+    kv_sink = jnp.where(pos >= S, KV_SINKS, 0)
+    kv_pos = kv_sink + (pos - kv_sink) % (S - kv_sink)
+    kv_len = jnp.minimum(pos + 1, S)
+    return kv_pos, kv_len
+
+
+def decode_step_fn(cfg: ModelConfig, w: Weights, token, pos, cache: KVCache,
+                   plan: ShardingPlan = NO_SHARDING):
+    """One token for each sequence slot: token (B,), pos (B,) -> logits (B, V)."""
+    kv_pos, kv_len = decode_indices(cfg, pos)
+    return _forward(cfg, w, token[:, None], pos[:, None], kv_pos[:, None],
+                    kv_len, cache, rolling=True, logits_mode="last", plan=plan)
+
+
+def prefill_fn(cfg: ModelConfig, w: Weights, tokens, pos0, cache: KVCache,
+               logits_mode: str = "last", plan: ShardingPlan = NO_SHARDING):
+    """Batched prompt processing: tokens (B, T) starting at pos0 (B,).
+
+    Requires pos0 + T <= seq_len (no rolling during prefill). Returns logits
+    per logits_mode ("last" (B,V) | "all" (B,T,V) | "none") and the cache.
+    """
+    B, T = tokens.shape
+    pos = pos0[:, None] + jnp.arange(T)[None, :]
+    kv_len = pos0 + T
+    return _forward(cfg, w, tokens, pos, pos, kv_len, cache,
+                    rolling=False, logits_mode=logits_mode, plan=plan)
+
+
+decode_step = jax.jit(decode_step_fn, static_argnames=("cfg", "plan"),
+                      donate_argnames=("cache",))
+prefill = jax.jit(prefill_fn, static_argnames=("cfg", "logits_mode", "plan"),
+                  donate_argnames=("cache",))
+
+
+def logits_hash(logits: np.ndarray) -> int:
+    """Fold f32 logits into the reference's 32-bit fingerprint
+    (src/run.c:242-253): h = h*5 + bits(logit_k), printed as #%08x."""
+    bits = np.asarray(logits, dtype=np.float32).reshape(-1).view(np.uint32)
+    # vectorized horner: h = sum(bits[k] * 5^(n-1-k)) mod 2^32
+    n = bits.size
+    powers = np.empty(n, dtype=np.uint64)
+    p = 1
+    for i in range(n - 1, -1, -1):
+        powers[i] = p
+        p = (p * 5) & 0xFFFFFFFF
+    return int((bits.astype(np.uint64) * powers).sum() & 0xFFFFFFFF)

@@ -1,0 +1,110 @@
+"""Quantized weight tensors and dequantizing matmuls.
+
+``QTensor`` is the device-side representation of a container weight:
+
+- fp16: jnp.float16 payload, logical shape == payload shape
+- fp8:  jnp.float8_e5m2 payload, logical shape == payload shape
+- gf4:  jnp.int32 payload packing 8 values/word on the last axis
+        (format spec: calm_tpu/quant.py; reference decoder src/helpers.cuh:100-113)
+
+This module holds the *reference* jnp compute paths: XLA fuses the dequant
+into the consuming dot on TPU, so even this path streams packed bytes from
+HBM and expands in registers/VMEM. The hand-tuned Pallas decode kernels in
+calm_tpu/ops/pallas_qmm.py override these on the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GF4_SHIFTS = tuple(8 + 3 * k for k in range(8))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QTensor:
+    """A quantized 2-D (or stacked N-D) weight with static format tag."""
+
+    data: jax.Array
+    fmt: str  # "fp16" | "fp8" | "gf4"
+
+    @property
+    def shape(self):
+        """Logical (unpacked) shape."""
+        s = tuple(self.data.shape)
+        if self.fmt == "gf4":
+            return s[:-1] + (s[-1] * 8,)
+        return s
+
+    def __getitem__(self, idx) -> "QTensor":
+        return QTensor(self.data[idx], self.fmt)
+
+    def astype_packed(self):
+        return self.data
+
+    def tree_flatten(self):
+        return (self.data,), (self.fmt,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0])
+
+    @classmethod
+    def from_numpy(cls, arr: np.ndarray, fmt: str) -> "QTensor":
+        if fmt == "fp16":
+            assert arr.dtype == np.float16
+        elif fmt == "fp8":
+            arr = arr.view(jnp.float8_e5m2.dtype)
+        elif fmt == "gf4":
+            assert arr.dtype == np.int32
+        else:
+            raise ValueError(f"unknown format {fmt!r}")
+        return cls(jnp.asarray(arr), fmt)
+
+
+def gf4_decode_words(words: jax.Array, out_dtype=jnp.float32) -> jax.Array:
+    """Decode gf4 i32 words (..., g) -> (..., g*8) floats.
+
+    value_k = (((w >> (8+3k)) & 7) - 4) * (fp8_e5m2(w & 0xff) / -4)
+    """
+    w = jax.lax.bitcast_convert_type(words, jnp.uint32)
+    scale_bits = (w & jnp.uint32(0xFF)).astype(jnp.uint8)
+    scale = jax.lax.bitcast_convert_type(scale_bits, jnp.float8_e5m2)
+    scale = scale.astype(out_dtype) * (-0.25)
+    parts = [(((w >> jnp.uint32(s)) & jnp.uint32(7)).astype(jnp.int8)) for s in GF4_SHIFTS]
+    codes = jnp.stack(parts, axis=-1).astype(out_dtype) - 4.0
+    vals = codes * scale[..., None]
+    return vals.reshape(*w.shape[:-1], w.shape[-1] * 8)
+
+
+def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
+    if qt.fmt == "gf4":
+        return gf4_decode_words(qt.data, dtype)
+    return qt.data.astype(dtype)
+
+
+def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
+    """x (..., n) @ W^T for W (d, n) logical -> (..., d).
+
+    Row-major (d, n) weight layout follows the container contract
+    (reference: src/model.h:41-48); the contraction is over the last axis of
+    both operands.
+    """
+    w = dequant(qt, out_dtype)
+    return jax.lax.dot_general(
+        x.astype(out_dtype), w,
+        dimension_numbers=(((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
+        preferred_element_type=out_dtype,
+    )
+
+
+def embed_lookup(tokens: jax.Array, qt: QTensor, dtype=jnp.float32) -> jax.Array:
+    """Gather + dequantize embedding rows (reads only the needed rows)."""
+    rows = qt.data[tokens]  # gather packed rows
+    if qt.fmt == "gf4":
+        return gf4_decode_words(rows, dtype)
+    return rows.astype(dtype)

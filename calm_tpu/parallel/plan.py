@@ -1,0 +1,47 @@
+"""Sharding plan: which mesh axes the model is partitioned over.
+
+The reference is single-GPU (SURVEY.md §2.3); parallelism is new TPU scope.
+Fixed conventions (the "megatron" layout adapted to decode):
+
+- ``tp``: attention heads and ffn hidden dim are column-sharded
+  (wq/wk/wv/w1/w3 on their output axis), wo/w2 row-sharded on the
+  contraction axis with a psum to reassemble the residual; the KV cache is
+  sharded over kv-heads so decode attention is fully local; embed/output are
+  vocab-sharded (embed lookups are masked + psum'd, logits reassemble by
+  concatenation).
+- ``ep``: MoE expert axis. Each shard owns E/ep experts; routing is computed
+  replicated, each shard evaluates only its resident active experts (masked),
+  and expert outputs reassemble in the same psum that closes the ffn.
+
+Requirements: n_kv_heads % tp == 0, hidden_dim % tp == 0 (with gf4:
+(hidden/tp) % 8 == 0), vocab % tp == 0, n_experts % ep == 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingPlan:
+    tp: str | None = None   # tensor-parallel mesh axis name
+    ep: str | None = None   # expert-parallel mesh axis name
+
+    @property
+    def axes(self) -> tuple[str, ...]:
+        return tuple(a for a in (self.tp, self.ep) if a)
+
+    def validate(self, cfg, tp_size: int, ep_size: int):
+        if self.tp and tp_size > 1:
+            assert cfg.n_kv_heads % tp_size == 0, \
+                f"n_kv_heads {cfg.n_kv_heads} not divisible by tp={tp_size}"
+            assert cfg.hidden_dim % tp_size == 0
+            assert cfg.vocab_size % tp_size == 0
+            if cfg.dtype == "gf4":
+                assert (cfg.hidden_dim // tp_size) % 8 == 0
+                assert (cfg.q_dim // tp_size) % 8 == 0
+        if self.ep and ep_size > 1:
+            assert cfg.n_experts and cfg.n_experts % ep_size == 0
+
+
+NO_SHARDING = ShardingPlan()

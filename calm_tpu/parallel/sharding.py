@@ -1,0 +1,117 @@
+"""Partition specs and shard_map wrappers for the model.
+
+The layer code in calm_tpu/model.py is written against *local* shapes with
+explicit psums; these helpers supply the matching PartitionSpecs and build
+jitted shard_map'd decode/prefill functions over a named mesh.
+
+Layout (see calm_tpu/parallel/plan.py):
+  wq/wk/wv, w1/w3: column-sharded over tp (output axis)
+  wo, w2:          row-sharded over tp (contraction axis, psum closes)
+  experts:         sharded over ep
+  embed/output:    vocab-sharded over tp
+  KV cache:        sharded over kv-heads (attention is collective-free)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from calm_tpu.config import ModelConfig
+from calm_tpu.model import (KVCache, LayerWeights, Weights, decode_step_fn,
+                            prefill_fn)
+from calm_tpu.ops.qmm import QTensor
+from calm_tpu.parallel.plan import ShardingPlan
+
+try:  # jax >= 0.6 exports shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def weight_pspecs(cfg: ModelConfig, plan: ShardingPlan) -> Weights:
+    """A Weights-shaped pytree whose leaves are PartitionSpecs."""
+    tp, ep = plan.tp, plan.ep
+    fmt = cfg.dtype
+
+    def qt(spec):
+        return QTensor(spec, fmt)
+
+    if cfg.n_experts:
+        w13 = qt(P(None, ep, tp, None))
+        w2 = qt(P(None, ep, None, tp))
+        moegate = qt(P(None, None, None))  # replicated: routing is tiny
+    else:
+        w13 = qt(P(None, tp, None))
+        w2 = qt(P(None, None, tp))
+        moegate = None
+
+    layers = LayerWeights(
+        attn_norm=P(None, None), ffn_norm=P(None, None),
+        wq=qt(P(None, tp, None)), wk=qt(P(None, tp, None)),
+        wv=qt(P(None, tp, None)), wo=qt(P(None, None, tp)),
+        bq=P(None, tp), bk=P(None, tp), bv=P(None, tp),
+        w1=w13, w2=w2, w3=w13, moegate=moegate)
+
+    return Weights(embed=qt(P(tp, None)), layers=layers,
+                   final_norm=P(None), output=qt(P(tp, None)))
+
+
+def cache_pspecs(plan: ShardingPlan) -> KVCache:
+    return KVCache(k=P(None, None, None, plan.tp, None),
+                   v=P(None, None, None, plan.tp, None))
+
+
+def _tree_shardings(mesh: Mesh, spec_tree):
+    leaves, treedef = jax.tree_util.tree_flatten(
+        spec_tree, is_leaf=lambda x: isinstance(x, P))
+    return jax.tree_util.tree_unflatten(
+        treedef, [NamedSharding(mesh, s) for s in leaves])
+
+
+def shard_weights(w: Weights, cfg: ModelConfig, mesh: Mesh,
+                  plan: ShardingPlan) -> Weights:
+    """Place a host-loaded Weights pytree onto the mesh per the plan."""
+    plan.validate(cfg, mesh.shape.get(plan.tp, 1) if plan.tp else 1,
+                  mesh.shape.get(plan.ep, 1) if plan.ep else 1)
+    shardings = _tree_shardings(mesh, weight_pspecs(cfg, plan))
+    return jax.device_put(w, shardings)
+
+
+def shard_cache(cache: KVCache, mesh: Mesh, plan: ShardingPlan) -> KVCache:
+    return jax.device_put(cache, _tree_shardings(mesh, cache_pspecs(plan)))
+
+
+def sharded_decode_step(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
+    """Build the jitted multi-chip decode step: (w, token, pos, cache) ->
+    (logits (B, V) fully assembled, cache)."""
+    wspecs = weight_pspecs(cfg, plan)
+    cspecs = cache_pspecs(plan)
+    rep = P()
+
+    fn = shard_map(partial(decode_step_fn, cfg, plan=plan), mesh=mesh,
+                   in_specs=(wspecs, rep, rep, cspecs),
+                   out_specs=(P(None, plan.tp), cspecs),
+                   check_vma=False)
+    return jax.jit(fn, donate_argnums=(3,))
+
+
+def sharded_prefill(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
+                    logits_mode: str = "last"):
+    """Build the jitted multi-chip prefill: (w, tokens, pos0, cache)."""
+    wspecs = weight_pspecs(cfg, plan)
+    cspecs = cache_pspecs(plan)
+    rep = P()
+    if logits_mode == "last":
+        out_logits = P(None, plan.tp)
+    elif logits_mode == "all":
+        out_logits = P(None, None, plan.tp)
+    else:
+        out_logits = None
+
+    fn = shard_map(partial(prefill_fn, cfg, logits_mode=logits_mode, plan=plan),
+                   mesh=mesh, in_specs=(wspecs, rep, rep, cspecs),
+                   out_specs=(out_logits, cspecs), check_vma=False)
+    return jax.jit(fn, donate_argnums=(3,))

@@ -1,0 +1,117 @@
+"""Converter end-to-end: tiny HF Llama checkpoint -> .calm -> engine logits
+must match the HF torch forward (validates permute_reverse, weight mapping,
+metadata extraction, tokenizer ingestion)."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+import convert as convert_mod  # noqa: E402
+from calm_tpu import container  # noqa: E402
+from calm_tpu.config import ModelConfig  # noqa: E402
+from calm_tpu.tokenizer import Tokenizer  # noqa: E402
+
+HF_CONFIG = {
+    "architectures": ["LlamaForCausalLM"],
+    "hidden_size": 48,
+    "intermediate_size": 64,
+    "num_hidden_layers": 2,
+    "num_attention_heads": 4,
+    "num_key_value_heads": 2,
+    "vocab_size": 268,
+    "max_position_embeddings": 128,
+    "bos_token_id": 1,
+    "eos_token_id": 2,
+    "rope_theta": 10000.0,
+    "rms_norm_eps": 1e-5,
+    "hidden_act": "silu",
+    "tie_word_embeddings": False,
+}
+
+
+def make_hf_checkpoint(d: Path):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    cfg = LlamaConfig(**{k: v for k, v in HF_CONFIG.items() if k != "architectures"},
+                      attention_bias=False)
+    torch.manual_seed(7)
+    model = LlamaForCausalLM(cfg).eval()
+
+    # write weights with our own safetensors writer (f32)
+    tensors = {k: v.detach().numpy().astype(np.float32)
+               for k, v in model.state_dict().items()
+               if not k.endswith("rotary_emb.inv_freq")}
+    container.write_tensors(str(d / "model.safetensors"), tensors, {})
+
+    with open(d / "config.json", "w") as f:
+        json.dump(HF_CONFIG, f)
+
+    # sentencepiece-style tokenizer.json with byte fallback
+    vocab = {"<unk>": 0, "<s>": 1, "</s>": 2}
+    for b in range(256):
+        vocab[f"<0x{b:02X}>"] = 3 + b
+    vocab["▁hi"] = 259
+    for i in range(260, 268):
+        vocab[f"<fill{i}>"] = i
+    tok = {"model": {"vocab": vocab, "merges": [], "byte_fallback": True},
+           "added_tokens": []}
+    with open(d / "tokenizer.json", "w") as f:
+        json.dump(tok, f)
+    return model
+
+
+@pytest.fixture(scope="module")
+def converted(tmp_path_factory):
+    d = tmp_path_factory.mktemp("hf")
+    model = make_hf_checkpoint(d)
+    out = str(d / "model.calm")
+    convert_mod.main([out, str(d), "--dtype", "fp16"])
+    return d, model, out
+
+
+def test_metadata(converted):
+    _, _, out = converted
+    tf = container.TensorFile(out)
+    cfg = ModelConfig.from_metadata(tf.metadata)
+    assert cfg.dim == 48 and cfg.n_layers == 2 and cfg.n_kv_heads == 2
+    assert cfg.arch == "llama" and cfg.dtype == "fp16"
+    assert cfg.bos_token_id == 1 and cfg.eos_token_id == 2
+    assert not cfg.norm_ln and not cfg.act_gelu
+
+
+def test_tokenizer_ingested(converted):
+    _, _, out = converted
+    tf = container.TensorFile(out)
+    tok = Tokenizer.from_container(tf)
+    assert tok.byte_fallbacks == 3
+    # the ▁-piece got mapped to a leading-space piece
+    assert tok.find(b" hi") == 259
+
+
+def test_logits_match_hf(converted):
+    import torch
+
+    d, model, out = converted
+    from calm_tpu.engine import Engine
+
+    tokens = [1, 10, 25, 199, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].numpy()
+
+    eng = Engine(out, context=32, kv_dtype="fp16")
+    import jax.numpy as jnp
+    from calm_tpu import model as M
+    logits, _ = M.prefill(eng.cfg, eng.weights,
+                          jnp.asarray([tokens], jnp.int32),
+                          jnp.zeros((1,), jnp.int32), eng.cache,
+                          logits_mode="all")
+    got = np.asarray(logits[0], np.float32)
+    np.testing.assert_allclose(got, hf_logits, rtol=5e-2, atol=5e-2)
+    # tight check on argmax agreement (what decoding actually consumes)
+    assert (got.argmax(-1) == hf_logits.argmax(-1)).all()

@@ -1,0 +1,121 @@
+"""Engine end-to-end: generate determinism (logits hash), perplexity harness,
+prefill-vs-step consistency, chat loop, CLI."""
+
+import io
+
+import numpy as np
+import pytest
+
+from calm_tpu.engine import Engine, chat_template, kv_cache_bytes
+from tests.modelgen import tiny_config, write_tiny_model
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    d = tmp_path_factory.mktemp("eng")
+    cfg = tiny_config(dtype="fp16", seq_len=64)
+    path = str(d / "m.calm")
+    write_tiny_model(path, cfg, seed=1)
+    return Engine(path, kv_dtype="fp16")
+
+
+def test_banner(engine):
+    b = engine.banner()
+    assert "params" in b and "context" in b
+
+
+def test_bandwidth_accounting(engine):
+    # n_bandwidth excludes the embedding (only one row is read per token)
+    assert 0 < engine.n_bandwidth < engine.n_bytes
+    assert kv_cache_bytes(engine.cfg, 16, 0) == 2 * 2 * engine.cfg.n_layers * engine.cfg.kv_dim
+    # clamps at the window size
+    w = kv_cache_bytes(engine.cfg, 16, 10**9)
+    assert w == 2 * 2 * engine.cfg.n_layers * engine.cfg.kv_dim * engine.cfg.seq_len
+
+
+def test_generate_greedy_deterministic(engine):
+    engine.reset()
+    s1 = engine.generate("AB", steps=8, temperature=0.0)
+    engine.reset()
+    s2 = engine.generate("AB", steps=8, temperature=0.0)
+    assert s1.logits_hash == s2.logits_hash
+    assert s1.text == s2.text
+    assert s1.tokens <= 8
+    assert s1.perf_line().startswith("#")
+
+
+def test_generate_prefill_equals_stepping(engine):
+    """Batched prompt prefill must give the same continuation as serial
+    stepping (the reference's serial prompt path, src/run.c:208)."""
+    engine.reset()
+    fast = engine.generate("ABCD", steps=8, temperature=0.0)
+
+    # serial: step through prompt tokens one by one
+    engine.reset()
+    tok = engine.tokenizer
+    toks = tok.encode("ABCD", bos=True)
+    for pos in range(len(toks) - 1):
+        engine.step(toks[pos], pos)
+    logits = engine.step(toks[-1], len(toks) - 1)
+    nxt = int(np.argmax(logits))
+
+    fast_first = tok.encode(fast.text, bos=False)
+    # first generated token matches
+    assert nxt == fast_first[0] or tok.decode_piece(toks[-1], nxt).decode(
+        "utf-8", errors="replace") == fast.text[: len(tok.decode_piece(toks[-1], nxt))]
+
+
+def test_perplexity(engine):
+    ppl, err, n = engine.perplexity("ABCABCABC", steps=8)
+    assert np.isfinite(ppl) and ppl > 0
+    assert err >= 0 and n > 0
+
+
+def test_perplexity_chunking_consistent(engine):
+    """Same text, chunk sizes differ -> different context, both finite."""
+    p1, _, n1 = engine.perplexity("ABCDABCD", steps=4)
+    p2, _, n2 = engine.perplexity("ABCDABCD", steps=8)
+    assert n1 == n2
+    assert np.isfinite(p1) and np.isfinite(p2)
+
+
+def test_chat_template_fallback(engine):
+    # byte vocab has no chat markers: llama2 [INST] fallback
+    tpl = chat_template(engine.tokenizer, has_system=True)
+    assert "[INST]" in tpl and "{sys}" in tpl
+    tpl = chat_template(engine.tokenizer, has_system=False)
+    assert "[INST]" in tpl and "{sys}" not in tpl
+
+
+def test_chat_loop_runs(engine):
+    from calm_tpu.engine import chat_loop
+    engine.reset()
+    out = io.StringIO()
+    chat_loop(engine, system_prompt="", cli_prompt="hello",
+              temperature=0.0, max_turns=1,
+              read_line=lambda: "ignored",
+              write=out.write)
+    assert "Assistant:" in out.getvalue()
+
+
+def test_cli_generate(tmp_path, capsys):
+    from calm_tpu import cli
+    cfg = tiny_config(dtype="fp8", seq_len=32)
+    path = str(tmp_path / "m.calm")
+    write_tiny_model(path, cfg, seed=2)
+    cli.main([path, "-t", "0", "-n", "6", "-i", "AB"])
+    cap = capsys.readouterr()
+    assert "params" in cap.out
+    assert "tok/s" in cap.err
+
+
+def test_cli_perplexity(tmp_path, capsys):
+    from calm_tpu import cli
+    cfg = tiny_config(dtype="fp16", seq_len=32)
+    path = str(tmp_path / "m.calm")
+    write_tiny_model(path, cfg, seed=3)
+    txt = tmp_path / "t.txt"
+    txt.write_text("ABCDABCDABCD")
+    cli.main([path, "-x", str(txt), "-n", "8"])
+    cap = capsys.readouterr()
+    assert "perplexity:" in cap.out

@@ -1,0 +1,165 @@
+"""jnp model vs numpy oracle parity across dtypes, architecture knobs,
+rolling-window/sink behavior, and prefill-vs-serial equivalence."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from calm_tpu import container
+from calm_tpu import model as M
+from calm_tpu.config import ModelConfig
+
+from tests.modelgen import tiny_config, write_tiny_model
+from tests.oracle import Oracle
+
+
+def build(tmp_path, cfg, **kw):
+    path = str(tmp_path / "m.calm")
+    write_tiny_model(path, cfg, **kw)
+    tf = container.TensorFile(path)
+    cfg2 = ModelConfig.from_metadata(tf.metadata)
+    assert cfg2 == cfg
+    w = M.load_weights(tf, cfg)
+    return tf, w
+
+
+def run_serial(cfg, w, tokens, kv_dtype=jnp.float16):
+    """Decode tokens one by one through the jnp path, collect logits."""
+    cache = M.KVCache.create(cfg, batch=1, dtype=kv_dtype)
+    out = []
+    for pos, tok in enumerate(tokens):
+        logits, cache = M.decode_step(cfg, w,
+                                      jnp.array([tok]), jnp.array([pos]), cache)
+        out.append(np.asarray(logits[0]))
+    return np.stack(out)
+
+
+def run_oracle(tf, cfg, tokens):
+    o = Oracle(tf, cfg)
+    return np.stack([o.forward(int(t), p) for p, t in enumerate(tokens)])
+
+
+TOKENS = [1, 5, 9, 200, 42, 7, 3, 99]
+
+
+@pytest.mark.parametrize("dtype", ["fp16", "fp8", "gf4"])
+def test_parity_dtypes(tmp_path, dtype):
+    cfg = tiny_config(dtype=dtype)
+    tf, w = build(tmp_path, cfg)
+    got = run_serial(cfg, w, TOKENS)
+    want = run_oracle(tf, cfg, TOKENS)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_parity_gqa_vs_mha(tmp_path):
+    cfg = tiny_config(n_kv_heads=4)  # MHA
+    tf, w = build(tmp_path, cfg)
+    np.testing.assert_allclose(run_serial(cfg, w, TOKENS),
+                               run_oracle(tf, cfg, TOKENS), rtol=2e-3, atol=2e-3)
+
+
+def test_parity_layernorm(tmp_path):
+    cfg = tiny_config(norm_ln=True)
+    tf, w = build(tmp_path, cfg)
+    np.testing.assert_allclose(run_serial(cfg, w, TOKENS),
+                               run_oracle(tf, cfg, TOKENS), rtol=2e-3, atol=2e-3)
+
+
+def test_parity_norm_par(tmp_path):
+    cfg = tiny_config(norm_ln=True, norm_par=True)
+    tf, w = build(tmp_path, cfg)
+    np.testing.assert_allclose(run_serial(cfg, w, TOKENS),
+                               run_oracle(tf, cfg, TOKENS), rtol=2e-3, atol=2e-3)
+
+
+def test_parity_gelu_clip_bias_tied(tmp_path):
+    cfg = tiny_config(act_gelu=True, qkv_clip=0.8)
+    tf, w = build(tmp_path, cfg, tied=True, bias=True)
+    np.testing.assert_allclose(run_serial(cfg, w, TOKENS),
+                               run_oracle(tf, cfg, TOKENS), rtol=2e-3, atol=2e-3)
+
+
+def test_parity_partial_rotary(tmp_path):
+    cfg = tiny_config(rotary_dim=6)
+    tf, w = build(tmp_path, cfg)
+    np.testing.assert_allclose(run_serial(cfg, w, TOKENS),
+                               run_oracle(tf, cfg, TOKENS), rtol=2e-3, atol=2e-3)
+
+
+def test_parity_moe(tmp_path):
+    cfg = tiny_config(moe=True)
+    tf, w = build(tmp_path, cfg)
+    np.testing.assert_allclose(run_serial(cfg, w, TOKENS),
+                               run_oracle(tf, cfg, TOKENS), rtol=2e-3, atol=2e-3)
+
+
+def test_rolling_window_with_sinks(tmp_path):
+    """Decode past seq_len: sink re-rotation + rolling writes must match."""
+    cfg = tiny_config(seq_len=8)
+    tf, w = build(tmp_path, cfg)
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(3, 250, size=20).tolist()
+    got = run_serial(cfg, w, tokens)
+    want = run_oracle(tf, cfg, tokens)
+    # compare after the window wraps too
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_prefill_matches_serial_decode(tmp_path):
+    cfg = tiny_config()
+    tf, w = build(tmp_path, cfg)
+    toks = jnp.array([TOKENS])
+
+    cache = M.KVCache.create(cfg, 1, jnp.float16)
+    logits_all, cache = M.prefill(cfg, w, toks, jnp.array([0]), cache,
+                                  logits_mode="all")
+    serial = run_serial(cfg, w, TOKENS)
+    np.testing.assert_allclose(np.asarray(logits_all[0]), serial,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_prefill_then_decode(tmp_path):
+    cfg = tiny_config()
+    tf, w = build(tmp_path, cfg)
+
+    cache = M.KVCache.create(cfg, 1, jnp.float16)
+    _, cache = M.prefill(cfg, w, jnp.array([TOKENS[:-1]]), jnp.array([0]), cache,
+                         logits_mode="none")
+    logits, _ = M.decode_step(cfg, w, jnp.array([TOKENS[-1]]),
+                              jnp.array([len(TOKENS) - 1]), cache)
+    serial = run_serial(cfg, w, TOKENS)
+    np.testing.assert_allclose(np.asarray(logits[0]), serial[-1],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_batched_decode_independent_slots(tmp_path):
+    """Two slots at different positions decode as if alone."""
+    cfg = tiny_config()
+    tf, w = build(tmp_path, cfg)
+
+    # slot 0 runs TOKENS, slot 1 runs reversed; run batched, compare to solo
+    seq_a, seq_b = TOKENS, TOKENS[::-1]
+    cache = M.KVCache.create(cfg, 2, jnp.float16)
+    got_a, got_b = [], []
+    for pos in range(len(seq_a)):
+        logits, cache = M.decode_step(
+            cfg, w, jnp.array([seq_a[pos], seq_b[pos]]),
+            jnp.array([pos, pos]), cache)
+        got_a.append(np.asarray(logits[0]))
+        got_b.append(np.asarray(logits[1]))
+
+    np.testing.assert_allclose(np.stack(got_a), run_serial(cfg, w, seq_a),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.stack(got_b), run_serial(cfg, w, seq_b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_logits_hash():
+    x = np.array([1.0, -2.0, 3.5], dtype=np.float32)
+    h = M.logits_hash(x)
+    assert 0 <= h <= 0xFFFFFFFF
+    # deterministic and sensitive
+    assert h == M.logits_hash(x)
+    assert h != M.logits_hash(x + 1)

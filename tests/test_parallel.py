@@ -1,0 +1,103 @@
+"""TP/EP sharding parity on the virtual 8-device CPU mesh: sharded decode
+must produce the same logits as the single-device path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from calm_tpu import container
+from calm_tpu import model as M
+from calm_tpu.parallel import (ShardingPlan, make_mesh, shard_weights,
+                               sharded_decode_step, sharded_prefill)
+from calm_tpu.parallel.sharding import shard_cache
+
+from tests.modelgen import tiny_config, write_tiny_model
+
+TOKENS = [1, 5, 9, 200, 42, 7]
+
+
+def build(tmp_path, cfg):
+    path = str(tmp_path / "m.calm")
+    write_tiny_model(path, cfg)
+    tf = container.TensorFile(path)
+    return M.load_weights(tf, cfg)
+
+
+def reference_logits(cfg, w, tokens):
+    cache = M.KVCache.create(cfg, 1, jnp.float16)
+    out = []
+    for pos, tok in enumerate(tokens):
+        logits, cache = M.decode_step(cfg, w, jnp.array([tok]),
+                                      jnp.array([pos]), cache)
+        out.append(np.asarray(logits[0]))
+    return np.stack(out)
+
+
+def sharded_logits(cfg, w, tokens, tp=1, ep=1):
+    plan = ShardingPlan(tp="tp" if tp > 1 else None,
+                        ep="ep" if ep > 1 else None)
+    mesh = make_mesh(tp=tp, ep=ep)
+    ws = shard_weights(w, cfg, mesh, plan)
+    # create() takes the global kv-head count; shard_map slices the buffer
+    cache = shard_cache(M.KVCache.create(cfg, 1, jnp.float16), mesh, plan)
+    step = sharded_decode_step(cfg, mesh, plan)
+    out = []
+    for pos, tok in enumerate(tokens):
+        logits, cache = step(ws, jnp.array([tok]), jnp.array([pos]), cache)
+        out.append(np.asarray(logits[0]))
+    return np.stack(out)
+
+
+def test_tp2_dense(tmp_path):
+    cfg = tiny_config(dtype="fp16")
+    w = build(tmp_path, cfg)
+    want = reference_logits(cfg, w, TOKENS)
+    got = sharded_logits(cfg, w, TOKENS, tp=2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_tp2_gf4(tmp_path):
+    cfg = tiny_config(dtype="gf4", dim=64, hidden_dim=64, head_dim=16,
+                      rotary_dim=16, vocab_size=272)
+    w = build(tmp_path, cfg)
+    want = reference_logits(cfg, w, TOKENS)
+    got = sharded_logits(cfg, w, TOKENS, tp=2)
+    # psum splits the contraction: accumulation order differs from 1-chip
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=2e-3)
+
+
+def test_ep4_moe(tmp_path):
+    cfg = tiny_config(dtype="fp16", moe=True)
+    w = build(tmp_path, cfg)
+    want = reference_logits(cfg, w, TOKENS)
+    got = sharded_logits(cfg, w, TOKENS, ep=4)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_tp2_ep2_moe(tmp_path):
+    cfg = tiny_config(dtype="fp16", moe=True)
+    w = build(tmp_path, cfg)
+    want = reference_logits(cfg, w, TOKENS)
+    got = sharded_logits(cfg, w, TOKENS, tp=2, ep=2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_tp2_prefill(tmp_path):
+    cfg = tiny_config(dtype="fp16")
+    w = build(tmp_path, cfg)
+    plan = ShardingPlan(tp="tp")
+    mesh = make_mesh(tp=2)
+    ws = shard_weights(w, cfg, mesh, plan)
+    cache = shard_cache(M.KVCache.create(cfg, 1, jnp.float16), mesh, plan)
+    pf = sharded_prefill(cfg, mesh, plan, logits_mode="all")
+    logits, _ = pf(ws, jnp.array([TOKENS]), jnp.zeros((1,), jnp.int32), cache)
+    want = reference_logits(cfg, w, TOKENS)
+    np.testing.assert_allclose(np.asarray(logits[0]), want, rtol=1e-4, atol=1e-4)
+
+
+def test_plan_validation():
+    cfg = tiny_config()
+    plan = ShardingPlan(tp="tp")
+    with pytest.raises(AssertionError):
+        plan.validate(cfg, tp_size=3, ep_size=1)  # kv_heads=2 not divisible
