@@ -1,0 +1,122 @@
+"""Decode-throughput benchmark on the local TPU chip.
+
+Measures single-stream greedy decode tokens/s and achieved HBM bandwidth on
+a synthetic Mistral-7B (weight values are irrelevant for bandwidth-bound
+decode), following the reference measurement protocol (README.md:86,111):
+32-token runs at an early context offset and near the end of the window,
+bandwidth computed from weight bytes/token + KV bytes at the position
+(reference: src/run.c:211-212,249-253).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+value = % of chip HBM speed-of-light sustained (the reference sustains ~92%
+of RTX 4090 peak on the same metric, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from calm_tpu.config import ModelConfig
+from calm_tpu import model as M
+from calm_tpu.engine import kv_cache_bytes
+from calm_tpu.parallel.mesh import detect_topology
+from calm_tpu.utils.synth import synth_weights, weight_bytes
+
+SHAPES = {
+    # dim, hidden, head_dim, layers, heads, kv_heads, vocab, experts/active
+    "mistral7b": dict(dim=4096, hidden_dim=14336, head_dim=128, n_layers=32,
+                      n_heads=32, n_kv_heads=8, vocab_size=32000),
+    "llama3-8b": dict(dim=4096, hidden_dim=14336, head_dim=128, n_layers=32,
+                      n_heads=32, n_kv_heads=8, vocab_size=128256),
+    "llama2-7b": dict(dim=4096, hidden_dim=11008, head_dim=128, n_layers=32,
+                      n_heads=32, n_kv_heads=32, vocab_size=32000),
+    "mixtral8x7b": dict(dim=4096, hidden_dim=14336, head_dim=128, n_layers=32,
+                        n_heads=32, n_kv_heads=8, vocab_size=32000,
+                        n_experts=8, n_experts_ac=2),
+    "tiny": dict(dim=256, hidden_dim=512, head_dim=64, n_layers=2,
+                 n_heads=4, n_kv_heads=2, vocab_size=2048),
+}
+
+
+def bench_decode(cfg: ModelConfig, kv_dtype, steps: int, pos0: int,
+                 repeats: int = 3):
+    w = synth_weights(cfg)
+    jax.block_until_ready(w)
+
+    times = []
+    toks = None
+    for r in range(repeats + 1):
+        cache = M.KVCache.create(cfg, 1, kv_dtype)
+        token = jnp.zeros((1,), jnp.int32)
+        start = jnp.full((1,), pos0, jnp.int32)
+        t0 = time.perf_counter()
+        toks, cache = M.decode_scan(cfg, w, token, start, cache, steps)
+        # force a tiny device->host copy: on the axon platform
+        # block_until_ready returns before execution finishes
+        import numpy as np
+        toks = np.asarray(toks)
+        dt = time.perf_counter() - t0
+        if r > 0:  # first run includes compile
+            times.append(dt)
+        del cache
+    return min(times), toks
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="mistral7b", choices=sorted(SHAPES))
+    ap.add_argument("--dtype", default="fp8", choices=["fp16", "fp8", "gf4"])
+    ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument("--ctx", type=int, default=4096)
+    ap.add_argument("--kv", default="bf16", choices=["bf16", "fp16", "fp8"])
+    args = ap.parse_args(argv)
+
+    topo = detect_topology()
+    shape = dict(SHAPES[args.model])
+    cfg = ModelConfig(**shape, seq_len=args.ctx, rope_theta=10000.0,
+                      norm_ln=False, dtype=args.dtype,
+                      rotary_dim=shape["head_dim"])
+
+    kv_dtype = {"bf16": jnp.bfloat16, "fp16": jnp.float16,
+                "fp8": jnp.float8_e5m2}[args.kv]
+    kv_bits = 8 if args.kv == "fp8" else 16
+    total_bytes, bw_bytes = weight_bytes(cfg)
+
+    results = {}
+    for name, pos0 in (("first32", min(2000, args.ctx // 2)),
+                       ("last32", args.ctx - args.steps - 1)):
+        secs, _ = bench_decode(cfg, kv_dtype, args.steps, pos0)
+        read = sum(bw_bytes + kv_cache_bytes(cfg, kv_bits, pos0 + i)
+                   for i in range(args.steps))
+        results[name] = dict(
+            tok_s=args.steps / secs,
+            gb_s=read / 1e9 / secs,
+            ms_tok=secs * 1000 / args.steps,
+        )
+        print(f"# {name}: {results[name]['tok_s']:.1f} tok/s, "
+              f"{results[name]['gb_s']:.1f} GB/s, "
+              f"{results[name]['ms_tok']:.2f} ms/tok", file=sys.stderr)
+
+    gb_s = results["first32"]["gb_s"]
+    pct_sol = 100.0 * gb_s / topo.hbm_gbps_per_chip
+    print(f"# chip: {topo.device_kind} (SoL {topo.hbm_gbps_per_chip} GB/s); "
+          f"model {args.model} {args.dtype} ({total_bytes / 2**30:.1f} GiB)",
+          file=sys.stderr)
+
+    # reference sustains ~92% of peak HBM bandwidth on this metric (BASELINE.md)
+    print(json.dumps({
+        "metric": f"pct_hbm_sol_{args.model}_{args.dtype}_decode",
+        "value": round(pct_sol, 2),
+        "unit": "% of HBM speed-of-light",
+        "vs_baseline": round(pct_sol / 92.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

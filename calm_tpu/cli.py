@@ -16,6 +16,7 @@ import os
 import sys
 import time
 
+from calm_tpu.container import ContainerError
 from calm_tpu.engine import Engine, chat_loop
 
 
@@ -50,7 +51,14 @@ def main(argv=None):
     if prompt == "-":
         prompt = sys.stdin.read()
 
-    engine = Engine(args.checkpoint, context=args.context, kv_dtype=args.kv)
+    try:
+        engine = Engine(args.checkpoint, context=args.context, kv_dtype=args.kv)
+    except (FileNotFoundError, IsADirectoryError) as e:
+        print(f"failed to open {args.checkpoint}: {e}", file=sys.stderr)
+        raise SystemExit(1)
+    except ContainerError as e:
+        print(f"failed to load {args.checkpoint}: {e}", file=sys.stderr)
+        raise SystemExit(1)
     print(engine.banner())
 
     pos_offset = int(os.environ.get("CALM_POSO", "0"))

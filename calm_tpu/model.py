@@ -412,10 +412,32 @@ def prefill_fn(cfg: ModelConfig, w: Weights, tokens, pos0, cache: KVCache,
                     rolling=False, logits_mode=logits_mode, plan=plan)
 
 
+def decode_scan_fn(cfg: ModelConfig, w: Weights, token, pos0, cache: KVCache,
+                   n_steps: int, plan: ShardingPlan = NO_SHARDING):
+    """Greedy-decode n_steps tokens entirely on device.
+
+    One compiled program produces N tokens — the TPU counterpart of the
+    reference's one-cooperative-launch-per-token design taken further: zero
+    host round-trips inside the loop. Returns (tokens (B, N), cache).
+    """
+    def body(carry, _):
+        tok, pos, cache = carry
+        logits, cache = decode_step_fn(cfg, w, tok, pos, cache, plan)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, pos + 1, cache), nxt
+
+    (_, _, cache), toks = jax.lax.scan(
+        body, (token, pos0, cache), None, length=n_steps)
+    return toks.T, cache
+
+
 decode_step = jax.jit(decode_step_fn, static_argnames=("cfg", "plan"),
                       donate_argnames=("cache",))
 prefill = jax.jit(prefill_fn, static_argnames=("cfg", "logits_mode", "plan"),
                   donate_argnames=("cache",))
+decode_scan = jax.jit(decode_scan_fn,
+                      static_argnames=("cfg", "n_steps", "plan"),
+                      donate_argnames=("cache",))
 
 
 def logits_hash(logits: np.ndarray) -> int:
