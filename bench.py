@@ -77,6 +77,9 @@ def main(argv=None):
     ap.add_argument("--kv", default="bf16", choices=["bf16", "fp16", "fp8"])
     args = ap.parse_args(argv)
 
+    from calm_tpu.ops import qmm
+    qmm.enable_pallas(jax.default_backend() == "tpu")
+
     topo = detect_topology()
     shape = dict(SHAPES[args.model])
     cfg = ModelConfig(**shape, seq_len=args.ctx, rope_theta=10000.0,

@@ -62,6 +62,10 @@ def kv_cache_bytes(cfg: ModelConfig, kv_bits: int, pos: int) -> int:
 class Engine:
     def __init__(self, path: str, context: int = 0,
                  kv_dtype: str | None = None, batch: int = 1):
+        import jax
+        from calm_tpu.ops import qmm as _qmm
+        _qmm.enable_pallas(jax.default_backend() == "tpu")
+
         self.tf = TensorFile(path)
         self.cfg = ModelConfig.from_metadata(self.tf.metadata, context)
         self.tokenizer = Tokenizer.from_container(self.tf)

@@ -348,6 +348,10 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, kc, vc, pos, kv_pos, kv_len,
     return x, kc, vc
 
 
+LAYER_UNROLL = 8  # lax.scan unroll factor over layers (loop-iteration
+                  # boundaries carry a fixed runtime cost; see bench notes)
+
+
 def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,
              cache: KVCache, rolling: bool, logits_mode: str,
              plan: ShardingPlan = NO_SHARDING):
@@ -361,7 +365,11 @@ def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,
                            kv_dtype, rolling, plan)
         return x, (kc, vc)
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (w.layers, cache.k, cache.v))
+    unroll = min(LAYER_UNROLL, cfg.n_layers)
+    if cfg.n_layers % unroll:
+        unroll = 1
+    x, (k_new, v_new) = jax.lax.scan(body, x, (w.layers, cache.k, cache.v),
+                                     unroll=unroll)
     cache = KVCache(k_new, v_new)
 
     if logits_mode == "none":

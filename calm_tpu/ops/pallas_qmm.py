@@ -1,0 +1,188 @@
+"""Pallas fused dequant-matmul kernels — the decode hot path.
+
+TPU counterpart of the reference's matmul_warppar dequant-matvec family
+(src/helpers.cuh:127-278): weights stream HBM -> VMEM at their packed width
+(2/1/0.5 bytes per value), dequantize on the VPU in-registers, and feed the
+dot — the activation row count is tiny at decode time, so the whole op is
+HBM-bandwidth-bound and the win is reading 1x packed bytes instead of
+letting XLA materialize a widened copy.
+
+Formats:
+- fp16: bitcast-free upconvert
+- fp8 e5m2: u8 -> u16 << 8 -> bitcast f16 (e5m2 is truncated f16, same trick
+  as fp8x4_e5m2_ff, src/helpers.cuh:64-77)
+- gf4: u32 word = fp8 scale byte + 8x3-bit codes; decode is shifts/masks +
+  one scale multiply (src/helpers.cuh:100-113); the (TD, N/8, 8) -> (TD, N)
+  regroup is a row-major view so Mosaic lowers it to a lane interleave
+
+The grid walks output-row tiles; Pallas double-buffers the weight-tile DMA
+against the previous tile's dequant+dot, so HBM stays saturated.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# interpret=True for CPU tests
+_INTERPRET = False
+
+
+def set_interpret(on: bool):
+    global _INTERPRET
+    _INTERPRET = on
+
+
+# Mosaic on the current backend has no f16 type; f16/e5m2 bits are decoded to
+# f32 with pure integer ops + one rebias multiply: place sign/exp/mant in the
+# f32 bit positions (exponent still f16-biased), bitcast, then multiply by
+# 2^112 = 2^(127-15). Zeros and subnormals come out exact; inf/NaN become
+# large finite values — same fast-path tradeoff as the reference
+# (src/helpers.cuh:64-77 skips NaN handling).
+_REBIAS = float(2.0 ** 112)
+
+
+def _f16_bits_to_f32(b):
+    """b: uint32 holding f16 bits in the low 16."""
+    f = pltpu.bitcast(((b & 0x8000) << 16) | ((b & 0x7FFF) << 13), jnp.float32)
+    return f * _REBIAS
+
+
+def _dequant_tile(w, fmt: str):
+    """Dequantize a weight tile to bf16 on the VPU.
+
+    bf16 is EXACT for fp8-e5m2 values (2-bit mantissa) and for gf4 products
+    ((code-4) * e5m2-scale: <= 5 mantissa bits); fp16 weights lose 3 mantissa
+    bits — the MXU's native input width (a single-pass f32 dot lowers to bf16
+    operands anyway; an exact bf16x2 split is a planned quality mode).
+    """
+    if fmt == "fp16":
+        return _f16_bits_to_f32(w.astype(jnp.uint32)).astype(jnp.bfloat16)
+    if fmt == "fp8":
+        return w.astype(jnp.bfloat16)  # native e5m2 -> bf16, exact
+    raise ValueError(fmt)
+
+
+def _qmm_kernel(x_ref, w_ref, o_ref, *, fmt: str):
+    wf = _dequant_tile(w_ref[:], fmt)  # (TD, N) bf16
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:].astype(jnp.bfloat16), wf,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _gf4_qmm_kernel(xp_ref, w_ref, o_ref):
+    """gf4 matvec without any lane relayout.
+
+    A (TD, N/8, 8) -> (TD, N) interleave is unsupported by the Mosaic layout
+    inference, so instead each of the 8 3-bit planes is decoded to a
+    lane-contiguous (TD, N/8) tile and dotted against the matching slice of a
+    pre-permuted x (x[k::8] lives at xp[:, k, :]) — 8 partial MXU dots,
+    f32-accumulated. Same column permutation on both operands = same result.
+    """
+    wu = pltpu.bitcast(w_ref[:], jnp.uint32)  # (TD, N/8)
+    # fp8-e5m2 scale byte decoded via integer placement + rebias multiply,
+    # with the -0.25 gf4 normalization folded in (src/helpers.cuh:100-113)
+    sf = pltpu.bitcast(((wu & 0x80) << 24) | ((wu & 0x7F) << 21), jnp.float32)
+    scale = sf * (-0.25 * _REBIAS)
+    acc = None
+    for k in range(8):
+        codes = ((wu >> (8 + 3 * k)) & 7).astype(jnp.int32).astype(jnp.float32)
+        plane = ((codes - 4.0) * scale).astype(jnp.bfloat16)  # (TD, N/8)
+        d = jax.lax.dot_general(
+            xp_ref[:, k, :].astype(jnp.bfloat16), plane,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    o_ref[:] = acc
+
+
+def _pick_tile(d: int, packed_row_bytes: int) -> int:
+    """Output-row tile: target ~1.5 MiB per weight block (double-buffered
+    against ~16 MiB VMEM). The tile is the output's lane axis, so it must be
+    a multiple of 128 (or cover d exactly)."""
+    target = (3 << 20) // 2
+    td = max(128, min(d, target // max(packed_row_bytes, 1)))
+    td = (td // 128) * 128
+    return min(max(td, 128), d) if d % 128 == 0 else max(td, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "interpret"))
+def _qmm(x, wdata, fmt: str, interpret: bool):
+    B = x.shape[0]
+    d = wdata.shape[0]
+    packed_bytes = {"fp16": 2, "fp8": 1, "gf4": 4}[fmt]
+    n_packed = wdata.shape[1]
+    td = _pick_tile(d, n_packed * packed_bytes)
+    grid = (pl.cdiv(d, td),)
+    cost = pl.CostEstimate(
+        flops=2 * B * d * x.shape[1],
+        bytes_accessed=d * n_packed * packed_bytes + 4 * B * (d + x.shape[1]),
+        transcendentals=0)
+
+    if fmt == "gf4":
+        np8 = n_packed  # = N/8
+        # pre-permute x so plane k aligns with xp[:, k, :] (see kernel doc)
+        xp = x.astype(jnp.float32).reshape(B, np8, 8).transpose(0, 2, 1)
+        return pl.pallas_call(
+            _gf4_qmm_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((B, 8, np8), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((td, np8), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((B, td), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(xp, wdata)
+
+    if fmt == "fp16":  # Mosaic has no f16: kernel decodes raw bits
+        wdata = jax.lax.bitcast_convert_type(wdata, jnp.uint16)
+
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel, fmt=fmt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, x.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((td, n_packed), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, td), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x.astype(jnp.float32), wdata)
+
+
+def qmm_decode(x: jax.Array, wdata: jax.Array, fmt: str) -> jax.Array:
+    """x (B, n) f32 @ W^T for packed W (d, n_packed) -> (B, d) f32."""
+    return _qmm(x, wdata, fmt, _INTERPRET)
+
+
+def supported(x_shape, wdata, fmt: str) -> bool:
+    """Use the Pallas path for small-row decode matvecs with lane-aligned
+    contraction; everything else stays on the XLA path (prefill rides MXU)."""
+    if fmt not in ("fp16", "fp8", "gf4"):
+        return False
+    if wdata.ndim != 2:
+        return False
+    rows = 1
+    for s in x_shape[:-1]:
+        rows *= s
+    n = wdata.shape[1] * (8 if fmt == "gf4" else 1)
+    if x_shape[-1] != n:
+        return False
+    # lane alignment of the packed minor axis
+    if wdata.shape[1] % 128 != 0:
+        return False
+    return rows <= 16

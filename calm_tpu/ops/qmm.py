@@ -87,6 +87,17 @@ def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     return qt.data.astype(dtype)
 
 
+_USE_PALLAS = False
+
+
+def enable_pallas(on: bool = True):
+    """Route decode-shaped matmuls through the fused Pallas kernels
+    (calm_tpu/ops/pallas_qmm.py). Engine/bench turn this on when running on
+    TPU; the jnp path below stays as the reference and the prefill path."""
+    global _USE_PALLAS
+    _USE_PALLAS = on
+
+
 def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
     """x (..., n) @ W^T for W (d, n) logical -> (..., d).
 
@@ -94,6 +105,17 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
     (reference: src/model.h:41-48); the contraction is over the last axis of
     both operands.
     """
+    if _USE_PALLAS and out_dtype == jnp.float32:
+        from calm_tpu.ops import pallas_qmm
+        if pallas_qmm.supported(x.shape, qt.data, qt.fmt):
+            lead = x.shape[:-1]
+            rows = 1
+            for s in lead:
+                rows *= s
+            out = pallas_qmm.qmm_decode(
+                x.reshape(rows, x.shape[-1]).astype(jnp.float32),
+                qt.data, qt.fmt)
+            return out.reshape(*lead, qt.data.shape[0])
     w = dequant(qt, out_dtype)
     return jax.lax.dot_general(
         x.astype(out_dtype), w,

@@ -1,0 +1,154 @@
+"""Bandwidth accounting, roofline model, and trace capture.
+
+TPU counterpart of the reference's three profiling mechanisms (SURVEY.md §5):
+
+- the per-stage analytic bytes model that the CUDA backend attaches to every
+  kernel launch as PROF_TOKEN (src/infer.cu:22,683-719) becomes
+  :func:`stage_bytes` — the expected HBM traffic of one decode step, per
+  stage, derived from the config;
+- the speed-of-light roofline (tools/sol.ipynb):
+  latency >= max(bytes / HBM_bw, flops / peak_flops) per step, evaluated
+  against the chip table in calm_tpu/parallel/mesh.py;
+- `jax.profiler` traces replace the CUPTI injection library: :func:`trace`
+  wraps a block and writes a TensorBoard-loadable trace.
+
+The achieved-vs-SoL report printed by :func:`roofline_report` is the
+framework's always-on perf gate, like the reference perf line
+(src/run.c:249-253).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+
+from calm_tpu.config import ModelConfig
+from calm_tpu.parallel.mesh import Topology, detect_topology
+from calm_tpu.quant import dtype_bits
+
+
+def stage_bytes(cfg: ModelConfig, kv_bits: int = 16, pos: int = 0,
+                tied_output: bool = False) -> dict:
+    """Expected HBM bytes read by one single-token decode step, per stage.
+
+    Mirrors the reference's per-stage bandwidth table (src/infer.cu:683-719):
+    weights at packed width, KV reads at the current length, activations
+    ignored (VMEM-resident).
+    """
+    wb = dtype_bits(cfg.dtype) / 8
+    D, Hd, Q, KV = cfg.dim, cfg.hidden_dim, cfg.q_dim, cfg.kv_dim
+    L = cfg.n_layers
+    kv_len = min(pos + 1, cfg.seq_len)
+    kv_row = KV * kv_bits // 8
+
+    s = {}
+    s["embed"] = D * wb  # one row
+    s["attn_norms"] = L * 2 * D * 4
+    s["wqkv"] = L * (Q + 2 * KV) * D * wb
+    s["kv_store"] = L * 2 * kv_row
+    s["attn_read_kv"] = L * 2 * kv_row * kv_len
+    s["wo"] = L * D * Q * wb
+    if cfg.n_experts:
+        s["moegate"] = L * cfg.n_experts * D * wb
+        s["ffn"] = L * cfg.n_experts_ac * 3 * Hd * D * wb
+    else:
+        s["ffn"] = L * 3 * Hd * D * wb
+    s["final_norm"] = D * 4
+    s["lm_head"] = cfg.vocab_size * D * wb
+    return s
+
+
+def step_bytes(cfg: ModelConfig, kv_bits: int = 16, pos: int = 0) -> int:
+    return int(sum(stage_bytes(cfg, kv_bits, pos).values()))
+
+
+def step_flops(cfg: ModelConfig, pos: int = 0) -> int:
+    """MAC-dominated flop count of one decode token (2 flops per MAC)."""
+    D, Hd, Q, KV = cfg.dim, cfg.hidden_dim, cfg.q_dim, cfg.kv_dim
+    L = cfg.n_layers
+    kv_len = min(pos + 1, cfg.seq_len)
+    per_layer = (Q + 2 * KV) * D + D * Q  # qkv + wo
+    per_layer += 2 * Q * kv_len           # scores + mix (per q elem over kv)
+    ffn = 3 * Hd * D * (cfg.n_experts_ac if cfg.n_experts else 1)
+    return 2 * (L * (per_layer + ffn) + cfg.vocab_size * D)
+
+
+@dataclasses.dataclass
+class Roofline:
+    sol_ms_per_token: float
+    bound: str               # "bandwidth" | "compute"
+    bytes_per_token: int
+    flops_per_token: int
+    topo: Topology
+
+    def achieved(self, ms_per_token: float) -> dict:
+        gbs = self.bytes_per_token / 1e9 / (ms_per_token / 1000)
+        return {
+            "ms_per_token": ms_per_token,
+            "tok_s": 1000.0 / ms_per_token,
+            "achieved_gb_s": gbs,
+            "pct_sol_bandwidth": 100.0 * gbs / self.topo.hbm_gbps_per_chip,
+            "pct_sol_latency": 100.0 * self.sol_ms_per_token / ms_per_token,
+        }
+
+
+# peak bf16 MXU flops per chip (dense), same sources as the HBM table
+CHIP_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+    "cpu": 1e12,
+}
+
+
+def roofline(cfg: ModelConfig, kv_bits: int = 16, pos: int = 0,
+             topo: Topology | None = None) -> Roofline:
+    topo = topo or detect_topology()
+    peak_flops = CHIP_FLOPS.get(topo.device_kind, 1e12)
+    for k, v in CHIP_FLOPS.items():
+        if topo.device_kind.startswith(k):
+            peak_flops = v
+            break
+    b = step_bytes(cfg, kv_bits, pos)
+    f = step_flops(cfg, pos)
+    t_bw = b / (topo.hbm_gbps_per_chip * 1e9)
+    t_fl = f / peak_flops
+    return Roofline(sol_ms_per_token=max(t_bw, t_fl) * 1000,
+                    bound="bandwidth" if t_bw >= t_fl else "compute",
+                    bytes_per_token=b, flops_per_token=f, topo=topo)
+
+
+def roofline_report(cfg: ModelConfig, ms_per_token: float, kv_bits: int = 16,
+                    pos: int = 0, topo: Topology | None = None) -> str:
+    r = roofline(cfg, kv_bits, pos, topo)
+    a = r.achieved(ms_per_token)
+    stages = stage_bytes(cfg, kv_bits, pos)
+    total = sum(stages.values())
+    lines = [
+        f"# roofline: {r.topo.device_kind}, {r.bound}-bound, "
+        f"SoL {r.sol_ms_per_token:.2f} ms/tok "
+        f"({r.bytes_per_token / 1e9:.2f} GB/tok, {r.flops_per_token / 1e9:.1f} GFLOP/tok)",
+        f"# achieved: {a['ms_per_token']:.2f} ms/tok ({a['tok_s']:.1f} tok/s), "
+        f"{a['achieved_gb_s']:.0f} GB/s = {a['pct_sol_bandwidth']:.1f}% of HBM SoL",
+    ]
+    for name, b in sorted(stages.items(), key=lambda kv: -kv[1]):
+        sol_us = b / (r.topo.hbm_gbps_per_chip * 1e9) * 1e6
+        lines.append(f"#   {name:<14} {b / 1e6:8.2f} MB/tok  "
+                     f"SoL {sol_us:7.1f} us  ({100 * b / total:4.1f}%)")
+    return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def trace(path: str = "/tmp/calm_tpu_trace"):
+    """Capture a jax.profiler trace around a block (TensorBoard-loadable);
+    replaces the reference's CUPTI injection profiler (tools/cudaprof.cu)."""
+    import jax
+    jax.profiler.start_trace(path)
+    try:
+        yield path
+    finally:
+        jax.profiler.stop_trace()
