@@ -439,8 +439,33 @@ def decode_scan_fn(cfg: ModelConfig, w: Weights, token, pos0, cache: KVCache,
     return toks.T, cache
 
 
+def prefill_slot_fn(cfg: ModelConfig, w: Weights, tokens, n_valid, slot,
+                    cache: KVCache, plan: ShardingPlan = NO_SHARDING):
+    """Prefill ONE batch slot of a shared multi-slot cache (continuous
+    batching admission). tokens (1, T) may be right-padded; n_valid (scalar)
+    marks the real length. Returns logits after token n_valid-1 (shape (V,))
+    and the updated cache.
+
+    Padded positions write garbage KV rows beyond n_valid — harmless: the
+    kv_len mask hides every row until decode reaches and overwrites it.
+    """
+    ks = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)
+    vs = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
+    T = tokens.shape[1]
+    pos = jnp.arange(T)[None, :]
+    logits, sub = _forward(cfg, w, tokens, pos, pos,
+                           n_valid[None], KVCache(ks, vs),
+                           rolling=False, logits_mode="all", plan=plan)
+    last = jax.lax.dynamic_slice_in_dim(logits[0], n_valid - 1, 1, axis=0)[0]
+    k = jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1)
+    v = jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1)
+    return last, KVCache(k, v)
+
+
 decode_step = jax.jit(decode_step_fn, static_argnames=("cfg", "plan"),
                       donate_argnames=("cache",))
+prefill_slot = jax.jit(prefill_slot_fn, static_argnames=("cfg", "plan"),
+                       donate_argnames=("cache",))
 prefill = jax.jit(prefill_fn, static_argnames=("cfg", "logits_mode", "plan"),
                   donate_argnames=("cache",))
 decode_scan = jax.jit(decode_scan_fn,

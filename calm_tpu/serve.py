@@ -1,0 +1,174 @@
+"""Continuous-batching serving loop.
+
+New scope vs the single-sequence reference (SURVEY.md §2.3): B decode slots
+share one jitted decode step; finished slots are re-admitted with new
+requests mid-flight.
+
+Design:
+- the KV cache is one (L, B, S, KVH, hd) buffer; admission prefills a single
+  slot in place (model.prefill_slot) while other slots keep their state
+- every scheduler tick runs ONE batched decode step for all slots; free
+  slots decode garbage (their pos is parked) — cost is already paid by the
+  batched matvecs, and their cache rows are masked/overwritten on reuse
+- prompts are right-padded to bucket lengths so prefill compiles once per
+  bucket, not once per prompt length
+- sampling runs host-side per slot (greedy or min-p with per-request seeds)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from calm_tpu import model as M
+from calm_tpu.engine import Engine
+from calm_tpu.sampler import Sampler
+
+BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def bucket_len(n: int, seq_len: int) -> int:
+    for b in BUCKETS:
+        if n <= b and b <= seq_len:
+            return b
+    return seq_len
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: str
+    max_tokens: int = 128
+    temperature: float = 1.0
+    minp: float = 0.1
+    seed: int = 42
+    on_piece: Callable[[str], None] | None = None
+    # results
+    text: str = ""
+    done: bool = False
+    n_generated: int = 0
+    submitted_at: float = 0.0
+    first_token_at: float = 0.0
+    finished_at: float = 0.0
+
+
+@dataclasses.dataclass
+class _Slot:
+    active: bool = False
+    req: Request | None = None
+    pos: int = 0
+    token: int = 0
+    sampler: Sampler | None = None
+    out: bytearray = dataclasses.field(default_factory=bytearray)
+
+
+class Server:
+    """Batched multi-request decode on one Engine."""
+
+    def __init__(self, path: str, batch: int = 4, context: int = 0,
+                 kv_dtype: str | None = None):
+        self.engine = Engine(path, context=context, kv_dtype=kv_dtype,
+                             batch=batch)
+        self.batch = batch
+        self.slots = [_Slot() for _ in range(batch)]
+        self.pending: deque[Request] = deque()
+        self._next_rid = 0
+        # parked decode state per slot (device arrays built each tick)
+        self._tokens = np.zeros(batch, np.int32)
+        self._pos = np.zeros(batch, np.int32)
+
+    # -- client api ---------------------------------------------------------
+
+    def submit(self, prompt: str, **kw) -> Request:
+        req = Request(rid=self._next_rid, prompt=prompt, **kw)
+        req.submitted_at = time.perf_counter()
+        self._next_rid += 1
+        self.pending.append(req)
+        return req
+
+    def run_until_drained(self, max_ticks: int | None = None):
+        ticks = 0
+        while self.pending or any(s.active for s in self.slots):
+            self.tick()
+            ticks += 1
+            if max_ticks is not None and ticks >= max_ticks:
+                break
+
+    # -- scheduler ----------------------------------------------------------
+
+    def _admit(self):
+        eng = self.engine
+        for b, slot in enumerate(self.slots):
+            if slot.active or not self.pending:
+                continue
+            req = self.pending.popleft()
+            toks = eng.tokenizer.encode(req.prompt, bos=True)
+            if not toks:
+                toks = [max(eng.tokenizer.bos_id, 0)]
+            # clamp absurd prompts to the window minus generation room
+            max_prompt = eng.cfg.seq_len - 1
+            toks = toks[:max_prompt]
+
+            slot.active = True
+            slot.req = req
+            slot.sampler = Sampler(eng.cfg.vocab_size, req.seed,
+                                   req.temperature, req.minp)
+            slot.out = bytearray()
+            slot.token = toks[-1]
+            slot.pos = len(toks) - 1
+            self._tokens[b] = slot.token
+            self._pos[b] = slot.pos
+
+            if len(toks) > 1:
+                T = bucket_len(len(toks) - 1, eng.cfg.seq_len)
+                padded = np.zeros((1, T), np.int32)
+                padded[0, : len(toks) - 1] = toks[:-1]
+                _, eng.cache = M.prefill_slot(
+                    eng.cfg, eng.weights, jnp.asarray(padded),
+                    jnp.int32(len(toks) - 1), jnp.int32(b), eng.cache)
+
+    def tick(self):
+        """One scheduler tick: admit new requests, one decode step for all."""
+        self._admit()
+        if not any(s.active for s in self.slots):
+            return
+
+        eng = self.engine
+        logits, eng.cache = M.decode_step(
+            eng.cfg, eng.weights,
+            jnp.asarray(self._tokens), jnp.asarray(self._pos), eng.cache)
+        logits = np.asarray(logits, np.float32)
+
+        tok = eng.tokenizer
+        now = time.perf_counter()
+        for b, slot in enumerate(self.slots):
+            if not slot.active:
+                continue
+            req = slot.req
+            nxt = slot.sampler.sample(logits[b].copy())
+            if req.n_generated == 0:
+                req.first_token_at = now
+            slot.pos += 1
+            req.n_generated += 1
+            stop = (nxt in (tok.bos_id, tok.eos_id, tok.eot_id)
+                    or req.n_generated >= req.max_tokens)
+            if not stop:
+                piece = tok.decode_piece(slot.token, nxt)
+                slot.out += piece
+                if req.on_piece:
+                    req.on_piece(piece.decode("utf-8", errors="replace"))
+                slot.token = nxt
+                self._tokens[b] = nxt
+                self._pos[b] = slot.pos
+            else:
+                req.text = slot.out.decode("utf-8", errors="replace")
+                req.done = True
+                req.finished_at = now
+                slot.active = False
+                slot.req = None
+                # park the slot; its garbage decodes are masked on reuse
