@@ -83,14 +83,18 @@ class Weights:
 @_shallow_pytree
 @dataclasses.dataclass
 class KVCache:
-    k: jax.Array  # (L, B, S, KVH, HD)
-    v: jax.Array  # (L, B, S, KVH, HD)
+    """Head-major cache: each (kv-head, S, hd) plane is contiguous so decode
+    attention streams it linearly (the TPU analogue of the reference's
+    transposed K/V layouts, src/infer.cu:474-481)."""
+
+    k: jax.Array  # (L, B, KVH, S, HD)
+    v: jax.Array  # (L, B, KVH, S, HD)
 
     @classmethod
     def create(cls, cfg: ModelConfig, batch: int = 1, dtype=jnp.bfloat16,
                tp_size: int = 1) -> "KVCache":
-        shape = (cfg.n_layers, batch, cfg.seq_len,
-                 cfg.n_kv_heads // tp_size, cfg.head_dim)
+        shape = (cfg.n_layers, batch, cfg.n_kv_heads // tp_size,
+                 cfg.seq_len, cfg.head_dim)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
@@ -189,6 +193,11 @@ def _psum(x, axes: tuple[str, ...]):
     return jax.lax.psum(x, axes) if axes else x
 
 
+def pallas_decode_enabled() -> bool:
+    from calm_tpu.ops import qmm
+    return qmm._USE_PALLAS
+
+
 def _norm(cfg: ModelConfig, x, weight):
     return rmsnorm(x, weight, cfg.norm_eps, subtract_mean=cfg.norm_ln)
 
@@ -231,14 +240,21 @@ def _attention(cfg: ModelConfig, q, k_cache, v_cache, q_pos, kv_len):
     position-agnostic post-RoPE (reference: src/infer.c:330-332).
     """
     B, T, H, hd = q.shape
-    S, KVH = k_cache.shape[1], k_cache.shape[2]
+    KVH, S = k_cache.shape[1], k_cache.shape[2]
     M = H // KVH
 
     qf = q.reshape(B, T, KVH, M, hd).astype(jnp.float32)
+
+    if pallas_decode_enabled() and T == 1:
+        from calm_tpu.ops import pallas_attn
+        out = pallas_attn.decode_attention(
+            qf[:, 0].reshape(B, KVH * M, hd), k_cache, v_cache, kv_len)
+        return out.reshape(B, T, H * hd)
+
     kf = k_cache.astype(jnp.float32)
     vf = v_cache.astype(jnp.float32)
 
-    scores = jnp.einsum("btkmh,bskh->bkmts", qf, kf) / math.sqrt(hd)
+    scores = jnp.einsum("btkmh,bksh->bkmts", qf, kf) / math.sqrt(hd)
 
     s_idx = jnp.arange(S)[None, None, :]                       # (1, 1, S)
     valid = s_idx < kv_len[:, None, None]                      # (B, 1, S)
@@ -248,7 +264,7 @@ def _attention(cfg: ModelConfig, q, k_cache, v_cache, q_pos, kv_len):
 
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
     att = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkmts,bskh->btkmh", att, vf)
+    out = jnp.einsum("bkmts,bksh->btkmh", att, vf)
     return out.reshape(B, T, H * hd)
 
 
@@ -315,20 +331,24 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, kc, vc, pos, kv_pos, kv_len,
     k = rope_interleaved(k.reshape(B, T, KVH, hd), pos, cfg.rope_theta, cfg.rotary_dim)
     v = v.reshape(B, T, KVH, hd)
 
-    # scatter k/v rows into the cache at kv_pos
-    b_idx = jnp.arange(B)[:, None].repeat(T, 1)
-    kc = kc.at[b_idx, kv_pos].set(k.astype(kv_dtype))
-    vc = vc.at[b_idx, kv_pos].set(v.astype(kv_dtype))
+    # scatter k/v rows into the head-major cache at kv_pos:
+    # kc[b, h, kv_pos[b, t]] = k[b, t, h]
+    b_idx = jnp.arange(B)[:, None, None]          # (B, 1, 1)
+    h_idx = jnp.arange(KVH)[None, :, None]        # (1, KVH, 1)
+    s_idx = kv_pos[:, None, :]                    # (B, 1, T)
+    kc = kc.at[b_idx, h_idx, s_idx].set(k.transpose(0, 2, 1, 3).astype(kv_dtype))
+    vc = vc.at[b_idx, h_idx, s_idx].set(v.transpose(0, 2, 1, 3).astype(kv_dtype))
 
     if rolling:
         # rotate sink keys forward by one position so their relative RoPE
         # phase tracks the sliding window (reference: src/infer.c:383-394)
-        sink = kc[:, :KV_SINKS].astype(jnp.float32)
+        sink = kc[:, :, :KV_SINKS].transpose(0, 2, 1, 3).astype(jnp.float32)
         rotated = rope_interleaved(sink, jnp.ones((B, KV_SINKS), jnp.int32),
                                    cfg.rope_theta, cfg.rotary_dim)
         wrapped = (pos[:, -1] >= cfg.seq_len)[:, None, None, None]
-        kc = kc.at[:, :KV_SINKS].set(
-            jnp.where(wrapped, rotated, sink).astype(kv_dtype))
+        kc = kc.at[:, :, :KV_SINKS].set(
+            jnp.where(wrapped, rotated, sink).transpose(0, 2, 1, 3)
+            .astype(kv_dtype))
 
     att = _attention(cfg, q, kc, vc, pos, kv_len)
     x = x + _psum(qmatmul(att, lw.wo), (plan.tp,) if plan.tp else ())

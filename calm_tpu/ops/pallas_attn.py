@@ -1,0 +1,138 @@
+"""Pallas flash-decode attention over the head-major KV cache.
+
+TPU counterpart of the reference's decode attention stages
+(src/infer.cu:493-553: transposed-K score, softmax, transposed-V mix) fused
+into ONE kernel with an online softmax:
+
+- the cache plane of each kv-head, (S, hd), streams HBM -> VMEM in blocks at
+  its storage width (bf16/f16; fp8 KV decodes in-kernel)
+- blocks past kv_len are never fetched: the block index map parks them on
+  block 0 (re-reading an already-resident tile costs nothing) and compute is
+  predicated off — the analogue of the reference reading exactly kv_len rows
+- no f32 materialization of the cache, no transposes: scores and the value
+  mix run on the MXU per block, the running (max, sum, acc) live in VMEM
+  scratch across the S-block grid dimension
+
+Grid: (B, KVH, S/BS), S-blocks innermost; scratch carries the online-softmax
+state between S-steps and resets at block 0.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False
+
+
+def set_interpret(on: bool):
+    global _INTERPRET
+    _INTERPRET = on
+
+
+def _attn_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
+                 m_ref, l_ref, acc_ref, *, bs: int, scale: float,
+                 kv_fp8: bool):
+    b = pl.program_id(0)
+    s = pl.program_id(2)
+    n_s = pl.num_programs(2)
+
+    kv_len = kv_len_ref[b]
+    block_live = s * bs < kv_len
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(block_live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.bfloat16)        # (M, hd)
+        k = k_ref[0, 0]                             # (BS, hd) storage dtype
+        v = v_ref[0, 0]
+        if kv_fp8:
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
+
+        scores = jax.lax.dot_general(                # (M, BS)
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        col = s * bs + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(col < kv_len, scores, -jnp.inf)
+
+        m_prev = m_ref[:]                            # (M, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)              # rescale of old state
+        p = jnp.exp(scores - m_new)                  # (M, BS)
+
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(                    # (M, hd)
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(s == n_s - 1)
+    def _():
+        o_ref[0, 0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attention(q, k_cache, v_cache, kv_len, interpret: bool):
+    B, H, hd = q.shape
+    _, KVH, S, _ = k_cache.shape
+    M = H // KVH
+    kv_fp8 = k_cache.dtype == jnp.float8_e5m2
+
+    bs = min(512, S)
+    n_s = pl.cdiv(S, bs)
+    scale = 1.0 / math.sqrt(hd)
+
+    qkv = q.reshape(B, KVH, M, hd)
+
+    def q_map(b, h, s, kv_len_ref):
+        return (b, h, 0, 0)
+
+    def kv_map(b, h, s, kv_len_ref):
+        # park dead blocks on block 0: already resident, no HBM traffic
+        live = s * bs < kv_len_ref[b]
+        return (b, h, jnp.where(live, s, 0), 0)
+
+    def o_map(b, h, s, kv_len_ref):
+        return (b, h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KVH, n_s),
+        in_specs=[
+            pl.BlockSpec((1, 1, M, hd), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, hd), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bs, hd), kv_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, M, hd), o_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((M, 1), jnp.float32),    # running max
+            pltpu.VMEM((M, 1), jnp.float32),    # running sum
+            pltpu.VMEM((M, hd), jnp.float32),   # running acc
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, bs=bs, scale=scale, kv_fp8=kv_fp8),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, M, hd), jnp.float32),
+        interpret=interpret,
+    )(kv_len.astype(jnp.int32), qkv, k_cache, v_cache)
+    return out.reshape(B, H, hd)
+
+
+def decode_attention(q, k_cache, v_cache, kv_len):
+    """q (B, H, hd) f32; caches (B, KVH, S, hd); kv_len (B,) -> (B, H, hd)."""
+    return _decode_attention(q, k_cache, v_cache, kv_len, _INTERPRET)

@@ -60,8 +60,9 @@ def weight_pspecs(cfg: ModelConfig, plan: ShardingPlan) -> Weights:
 
 
 def cache_pspecs(plan: ShardingPlan) -> KVCache:
-    return KVCache(k=P(None, None, None, plan.tp, None),
-                   v=P(None, None, None, plan.tp, None))
+    # (L, B, KVH, S, hd): shard the kv-head axis
+    return KVCache(k=P(None, None, plan.tp, None, None),
+                   v=P(None, None, plan.tp, None, None))
 
 
 def _tree_shardings(mesh: Mesh, spec_tree):

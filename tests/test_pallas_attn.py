@@ -1,0 +1,85 @@
+"""Flash-decode attention kernel vs a straightforward numpy reference."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from calm_tpu.ops import pallas_attn
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    pallas_attn.set_interpret(True)
+    yield
+    pallas_attn.set_interpret(False)
+
+
+def ref_attention(q, k, v, kv_len):
+    """q (B,H,hd) f32; k/v (B,KVH,S,hd); masked softmax over [0,kv_len)."""
+    B, H, hd = q.shape
+    KVH, S = k.shape[1], k.shape[2]
+    M = H // KVH
+    out = np.zeros_like(q, dtype=np.float32)
+    for b in range(B):
+        for h in range(H):
+            kh = k[b, h // M].astype(np.float32)
+            vh = v[b, h // M].astype(np.float32)
+            scores = kh[: kv_len[b]] @ q[b, h] / math.sqrt(hd)
+            e = np.exp(scores - scores.max())
+            out[b, h] = (e / e.sum()) @ vh[: kv_len[b]]
+    return out
+
+
+@pytest.mark.parametrize("kv_dtype", [jnp.float16, jnp.bfloat16])
+def test_matches_reference(rng, kv_dtype):
+    B, KVH, M, S, hd = 2, 2, 4, 256, 128
+    q = rng.standard_normal((B, KVH * M, hd)).astype(np.float32)
+    k = (rng.standard_normal((B, KVH, S, hd)) * 0.5).astype(np.float32)
+    v = (rng.standard_normal((B, KVH, S, hd)) * 0.5).astype(np.float32)
+    kv_len = np.array([100, 256], np.int32)
+
+    got = np.asarray(pallas_attn.decode_attention(
+        jnp.asarray(q), jnp.asarray(k, kv_dtype), jnp.asarray(v, kv_dtype),
+        jnp.asarray(kv_len)))
+    want = ref_attention(q, np.asarray(jnp.asarray(k, kv_dtype), np.float32)
+                         .astype(np.float32),
+                         np.asarray(jnp.asarray(v, kv_dtype), np.float32),
+                         kv_len)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_short_kv_len_single_block(rng):
+    """kv_len smaller than one block: masking within the first block."""
+    B, KVH, M, S, hd = 1, 1, 8, 1024, 128
+    q = rng.standard_normal((B, KVH * M, hd)).astype(np.float32)
+    k = (rng.standard_normal((B, KVH, S, hd)) * 0.5).astype(np.float32)
+    v = (rng.standard_normal((B, KVH, S, hd)) * 0.5).astype(np.float32)
+    kv_len = np.array([3], np.int32)
+
+    got = np.asarray(pallas_attn.decode_attention(
+        jnp.asarray(q), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), jnp.asarray(kv_len)))
+    want = ref_attention(q,
+                         np.asarray(jnp.asarray(k, jnp.bfloat16), np.float32),
+                         np.asarray(jnp.asarray(v, jnp.bfloat16), np.float32),
+                         kv_len)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_fp8_kv(rng):
+    B, KVH, M, S, hd = 1, 2, 2, 512, 128
+    q = rng.standard_normal((B, KVH * M, hd)).astype(np.float32)
+    k = (rng.standard_normal((B, KVH, S, hd)) * 0.5).astype(np.float32)
+    v = (rng.standard_normal((B, KVH, S, hd)) * 0.5).astype(np.float32)
+    kv_len = np.array([300], np.int32)
+
+    k8 = jnp.asarray(k, jnp.float8_e5m2)
+    v8 = jnp.asarray(v, jnp.float8_e5m2)
+    got = np.asarray(pallas_attn.decode_attention(
+        jnp.asarray(q), k8, v8, jnp.asarray(kv_len)))
+    want = ref_attention(q, np.asarray(k8, np.float32),
+                         np.asarray(v8, np.float32), kv_len)
+    # fp8 kv: coarser values, same math
+    np.testing.assert_allclose(got, want, rtol=6e-2, atol=6e-2)
