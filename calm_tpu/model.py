@@ -251,10 +251,14 @@ def _attention(cfg: ModelConfig, q, k_cache, v_cache, q_pos, kv_len):
             qf[:, 0].reshape(B, KVH * M, hd), k_cache, v_cache, kv_len)
         return out.reshape(B, T, H * hd)
 
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
+    # fast (TPU) mode: bf16 operands + f32 accumulation ride the MXU at
+    # full rate; the precise f32 path remains the test oracle off-TPU
+    cdt = jnp.bfloat16 if pallas_decode_enabled() else jnp.float32
+    kf = k_cache.astype(cdt)
+    vf = v_cache.astype(cdt)
 
-    scores = jnp.einsum("btkmh,bksh->bkmts", qf, kf) / math.sqrt(hd)
+    scores = jnp.einsum("btkmh,bksh->bkmts", qf.astype(cdt), kf,
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
 
     s_idx = jnp.arange(S)[None, None, :]                       # (1, 1, S)
     valid = s_idx < kv_len[:, None, None]                      # (B, 1, S)
@@ -264,7 +268,8 @@ def _attention(cfg: ModelConfig, q, k_cache, v_cache, q_pos, kv_len):
 
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
     att = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bkmts,bksh->btkmh", att, vf)
+    out = jnp.einsum("bkmts,bksh->btkmh", att.astype(cdt), vf,
+                     preferred_element_type=jnp.float32)
     return out.reshape(B, T, H * hd)
 
 
@@ -368,8 +373,10 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, kc, vc, pos, kv_pos, kv_len,
     return x, kc, vc
 
 
-LAYER_UNROLL = 8  # lax.scan unroll factor over layers (loop-iteration
-                  # boundaries carry a fixed runtime cost; see bench notes)
+LAYER_UNROLL = 1  # lax.scan unroll factor over layers. MEASURED on v5e:
+                  # unroll=1 streams layer weights at ~708 GB/s; unroll=8
+                  # collapses to ~222 GB/s (the unrolled body defeats XLA's
+                  # per-iteration weight-slice streaming). Keep at 1.
 
 
 def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,

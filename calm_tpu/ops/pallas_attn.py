@@ -91,7 +91,9 @@ def _decode_attention(q, k_cache, v_cache, kv_len, interpret: bool):
     M = H // KVH
     kv_fp8 = k_cache.dtype == jnp.float8_e5m2
 
-    bs = min(512, S)
+    # big KV blocks measure ~3x the HBM throughput of 512-row blocks on v5e
+    # (small per-step DMAs cannot hide the grid-step overhead)
+    bs = min(2048, S)
     n_s = pl.cdiv(S, bs)
     scale = 1.0 / math.sqrt(hd)
 
