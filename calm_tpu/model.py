@@ -226,12 +226,16 @@ def _embed(cfg: ModelConfig, embed: QTensor, tokens, plan: ShardingPlan):
     return jax.lax.psum(rows * ok[..., None], plan.tp)
 
 
-def _attention(cfg: ModelConfig, q, k_cache, v_cache, q_pos, kv_len):
+def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len):
     """GQA attention over the (possibly rolled) cache — fully head-local
     (cache is sharded over kv-heads under tp, so no collective here).
 
-    q: (B, T, H, hd); caches: (B, S, KVH, hd); q_pos: (B, T) absolute
-    positions of the queries; kv_len: (B,) valid cache rows.
+    q: (B, T, H, hd); caches: (L, B, KVH, S, hd) with ``layer`` selecting
+    the plane; q_pos: (B, T) absolute positions; kv_len: (B,) valid rows.
+
+    The decode path hands the FULL stacked cache to the Pallas kernel and
+    indexes the layer inside it — slicing here would materialize a copy of
+    the whole (B, KVH, S, hd) plane every layer (measured ~3 ms/token at 7B).
 
     Masking rule: cache row s is visible to query t iff s < kv_len[b] and,
     when the query is part of an in-window prefill (q_pos < S), s <= q_pos
@@ -240,7 +244,7 @@ def _attention(cfg: ModelConfig, q, k_cache, v_cache, q_pos, kv_len):
     position-agnostic post-RoPE (reference: src/infer.c:330-332).
     """
     B, T, H, hd = q.shape
-    KVH, S = k_cache.shape[1], k_cache.shape[2]
+    KVH, S = kc.shape[2], kc.shape[3]
     M = H // KVH
 
     qf = q.reshape(B, T, KVH, M, hd).astype(jnp.float32)
@@ -248,8 +252,11 @@ def _attention(cfg: ModelConfig, q, k_cache, v_cache, q_pos, kv_len):
     if pallas_decode_enabled() and T == 1:
         from calm_tpu.ops import pallas_attn
         out = pallas_attn.decode_attention(
-            qf[:, 0].reshape(B, KVH * M, hd), k_cache, v_cache, kv_len)
+            qf[:, 0].reshape(B, KVH * M, hd), kc, vc, kv_len, layer)
         return out.reshape(B, T, H * hd)
+
+    k_cache = jax.lax.dynamic_index_in_dim(kc, layer, 0, keepdims=False)
+    v_cache = jax.lax.dynamic_index_in_dim(vc, layer, 0, keepdims=False)
 
     # fast (TPU) mode: bf16 operands + f32 accumulation ride the MXU at
     # full rate; the precise f32 path remains the test oracle off-TPU
@@ -311,13 +318,18 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, plan: ShardingPlan):
     return jax.vmap(jax.vmap(per_token))(top_idx, moe_w, xb2)  # (B, T, D)
 
 
-def _layer(cfg: ModelConfig, x, lw: LayerWeights, kc, vc, pos, kv_pos, kv_len,
-           kv_dtype, rolling: bool, plan: ShardingPlan):
+def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
+           kv_len, kv_dtype, rolling: bool, plan: ShardingPlan):
     """One transformer layer on a (B, T, D) activation wave.
 
-    kc/vc: (B, S, KVH_local, hd) cache slices for this layer; pos: (B, T)
-    absolute positions; kv_pos: (B, T) cache write rows; kv_len: (B,).
-    Local head/hidden dims come from the weight shards. Returns (x, kc, vc).
+    kc/vc: the FULL (L, B, KVH_local, S, hd) caches, updated in place at
+    ``layer`` with dynamic-update-slices. Carrying the whole buffer (instead
+    of scanning per-layer slices as scan xs/ys) is what lets XLA alias the
+    donated cache: a modified xs->ys slice costs a full-plane copy per layer
+    (~3 ms/token at 7B), a DUS into a carried buffer writes only the touched
+    rows. pos: (B, T) absolute positions; kv_pos: (B, T) cache write rows
+    (must be contiguous along T); kv_len: (B,). Local head/hidden dims come
+    from the weight shards. Returns (x, kc, vc).
     """
     B, T, D = x.shape
     hd = cfg.head_dim
@@ -336,26 +348,31 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, kc, vc, pos, kv_pos, kv_len,
     k = rope_interleaved(k.reshape(B, T, KVH, hd), pos, cfg.rope_theta, cfg.rotary_dim)
     v = v.reshape(B, T, KVH, hd)
 
-    # scatter k/v rows into the head-major cache at kv_pos:
-    # kc[b, h, kv_pos[b, t]] = k[b, t, h]
-    b_idx = jnp.arange(B)[:, None, None]          # (B, 1, 1)
-    h_idx = jnp.arange(KVH)[None, :, None]        # (1, KVH, 1)
-    s_idx = kv_pos[:, None, :]                    # (B, 1, T)
-    kc = kc.at[b_idx, h_idx, s_idx].set(k.transpose(0, 2, 1, 3).astype(kv_dtype))
-    vc = vc.at[b_idx, h_idx, s_idx].set(v.transpose(0, 2, 1, 3).astype(kv_dtype))
+    # write the new rows head-major at kv_pos[b, 0]: one in-place DUS per
+    # sequence slot (kv_pos is contiguous along T: decode T=1, prefill a
+    # pos0..pos0+T run)
+    kh = k.transpose(0, 2, 1, 3).astype(kv_dtype)[None]  # (1, B, KVH, T, hd)
+    vh = v.transpose(0, 2, 1, 3).astype(kv_dtype)[None]
+    for b in range(B):
+        kc = jax.lax.dynamic_update_slice(
+            kc, kh[:, b:b + 1], (layer, b, 0, kv_pos[b, 0], 0))
+        vc = jax.lax.dynamic_update_slice(
+            vc, vh[:, b:b + 1], (layer, b, 0, kv_pos[b, 0], 0))
 
     if rolling:
         # rotate sink keys forward by one position so their relative RoPE
         # phase tracks the sliding window (reference: src/infer.c:383-394)
-        sink = kc[:, :, :KV_SINKS].transpose(0, 2, 1, 3).astype(jnp.float32)
+        sink5 = jax.lax.dynamic_slice(
+            kc, (layer, 0, 0, 0, 0), (1, B, KVH, KV_SINKS, hd))
+        sink = sink5[0].transpose(0, 2, 1, 3).astype(jnp.float32)
         rotated = rope_interleaved(sink, jnp.ones((B, KV_SINKS), jnp.int32),
                                    cfg.rope_theta, cfg.rotary_dim)
         wrapped = (pos[:, -1] >= cfg.seq_len)[:, None, None, None]
-        kc = kc.at[:, :, :KV_SINKS].set(
-            jnp.where(wrapped, rotated, sink).transpose(0, 2, 1, 3)
-            .astype(kv_dtype))
+        upd = (jnp.where(wrapped, rotated, sink).transpose(0, 2, 1, 3)
+               .astype(kv_dtype)[None])
+        kc = jax.lax.dynamic_update_slice(kc, upd, (layer, 0, 0, 0, 0))
 
-    att = _attention(cfg, q, kc, vc, pos, kv_len)
+    att = _attention(cfg, q, kc, vc, layer, pos, kv_len)
     x = x + _psum(qmatmul(att, lw.wo), (plan.tp,) if plan.tp else ())
 
     # parallel-norm architectures (Cohere) feed the ffn from the attn-normed
@@ -384,19 +401,22 @@ def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,
              plan: ShardingPlan = NO_SHARDING):
     """Shared forward: tokens/pos/kv_pos (B, T), kv_len (B,)."""
     kv_dtype = cache.k.dtype
+    n_layers = cache.k.shape[0]
     x = _embed(cfg, w.embed, tokens, plan)  # (B, T, D)
 
-    def body(x, scanned):
-        lw, kc, vc = scanned
-        x, kc, vc = _layer(cfg, x, lw, kc, vc, pos, kv_pos, kv_len,
+    def body(carry, scanned):
+        x, kc, vc = carry
+        lw, layer = scanned
+        x, kc, vc = _layer(cfg, x, lw, layer, kc, vc, pos, kv_pos, kv_len,
                            kv_dtype, rolling, plan)
-        return x, (kc, vc)
+        return (x, kc, vc), None
 
     unroll = min(LAYER_UNROLL, cfg.n_layers)
     if cfg.n_layers % unroll:
         unroll = 1
-    x, (k_new, v_new) = jax.lax.scan(body, x, (w.layers, cache.k, cache.v),
-                                     unroll=unroll)
+    (x, k_new, v_new), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        (w.layers, jnp.arange(n_layers, dtype=jnp.int32)), unroll=unroll)
     cache = KVCache(k_new, v_new)
 
     if logits_mode == "none":

@@ -12,6 +12,10 @@ into ONE kernel with an online softmax:
 - no f32 materialization of the cache, no transposes: scores and the value
   mix run on the MXU per block, the running (max, sum, acc) live in VMEM
   scratch across the S-block grid dimension
+- the kernel reads the FULL layer-stacked cache (L, B, KVH, S, hd) at a
+  layer offset carried in the scalar-prefetch operand, so the layer scan
+  never slices (= copies) a cache plane to feed attention — the carried
+  donated cache buffer is consumed in place.
 
 Grid: (B, KVH, S/BS), S-blocks innermost; scratch carries the online-softmax
 state between S-steps and resets at block 0.
@@ -35,14 +39,15 @@ def set_interpret(on: bool):
     _INTERPRET = on
 
 
-def _attn_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
+def _attn_kernel(sref, q_ref, k_ref, v_ref, o_ref,
                  m_ref, l_ref, acc_ref, *, bs: int, scale: float,
                  kv_fp8: bool):
+    """sref layout: [layer, kv_len_0, ..., kv_len_{B-1}]."""
     b = pl.program_id(0)
     s = pl.program_id(2)
     n_s = pl.num_programs(2)
 
-    kv_len = kv_len_ref[b]
+    kv_len = sref[b + 1]
     block_live = s * bs < kv_len
 
     @pl.when(s == 0)
@@ -54,8 +59,8 @@ def _attn_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(block_live)
     def _():
         q = q_ref[0, 0].astype(jnp.bfloat16)        # (M, hd)
-        k = k_ref[0, 0]                             # (BS, hd) storage dtype
-        v = v_ref[0, 0]
+        k = k_ref[0, 0, 0]                          # (BS, hd) storage dtype
+        v = v_ref[0, 0, 0]
         if kv_fp8:
             k = k.astype(jnp.bfloat16)
             v = v.astype(jnp.bfloat16)
@@ -85,9 +90,9 @@ def _attn_kernel(kv_len_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _decode_attention(q, k_cache, v_cache, kv_len, interpret: bool):
+def _decode_attention(q, k_cache, v_cache, kv_len, layer, interpret: bool):
     B, H, hd = q.shape
-    _, KVH, S, _ = k_cache.shape
+    _, _, KVH, S, _ = k_cache.shape
     M = H // KVH
     kv_fp8 = k_cache.dtype == jnp.float8_e5m2
 
@@ -99,15 +104,15 @@ def _decode_attention(q, k_cache, v_cache, kv_len, interpret: bool):
 
     qkv = q.reshape(B, KVH, M, hd)
 
-    def q_map(b, h, s, kv_len_ref):
+    def q_map(b, h, s, sref):
         return (b, h, 0, 0)
 
-    def kv_map(b, h, s, kv_len_ref):
+    def kv_map(b, h, s, sref):
         # park dead blocks on block 0: already resident, no HBM traffic
-        live = s * bs < kv_len_ref[b]
-        return (b, h, jnp.where(live, s, 0), 0)
+        live = s * bs < sref[b + 1]
+        return (sref[0], b, h, jnp.where(live, s, 0), 0)
 
-    def o_map(b, h, s, kv_len_ref):
+    def o_map(b, h, s, sref):
         return (b, h, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -115,8 +120,8 @@ def _decode_attention(q, k_cache, v_cache, kv_len, interpret: bool):
         grid=(B, KVH, n_s),
         in_specs=[
             pl.BlockSpec((1, 1, M, hd), q_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bs, hd), kv_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bs, hd), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bs, hd), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bs, hd), kv_map, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, M, hd), o_map, memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -126,15 +131,23 @@ def _decode_attention(q, k_cache, v_cache, kv_len, interpret: bool):
         ],
     )
 
+    sref = jnp.concatenate([layer[None].astype(jnp.int32),
+                            kv_len.astype(jnp.int32)])
     out = pl.pallas_call(
         functools.partial(_attn_kernel, bs=bs, scale=scale, kv_fp8=kv_fp8),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, M, hd), jnp.float32),
         interpret=interpret,
-    )(kv_len.astype(jnp.int32), qkv, k_cache, v_cache)
+    )(sref, qkv, k_cache, v_cache)
     return out.reshape(B, H, hd)
 
 
-def decode_attention(q, k_cache, v_cache, kv_len):
-    """q (B, H, hd) f32; caches (B, KVH, S, hd); kv_len (B,) -> (B, H, hd)."""
-    return _decode_attention(q, k_cache, v_cache, kv_len, _INTERPRET)
+def decode_attention(q, k_cache, v_cache, kv_len, layer=None):
+    """q (B, H, hd) f32; caches (L, B, KVH, S, hd) with scalar ``layer``
+    selecting the plane (or (B, KVH, S, hd) for a single-layer cache);
+    kv_len (B,) -> (B, H, hd)."""
+    if k_cache.ndim == 4:
+        k_cache, v_cache = k_cache[None], v_cache[None]
+        layer = jnp.int32(0)
+    return _decode_attention(q, k_cache, v_cache, kv_len,
+                             jnp.asarray(layer, jnp.int32), _INTERPRET)
