@@ -37,7 +37,7 @@ from calm_tpu.config import ModelConfig
 from calm_tpu.container import TensorFile
 from calm_tpu.ops.norms import rmsnorm
 from calm_tpu.ops.qmm import QTensor, embed_lookup, qmatmul
-from calm_tpu.ops.rope import rope_interleaved
+from calm_tpu.ops.rope import apply_rope, rope_interleaved, rope_tables
 from calm_tpu.parallel.plan import NO_SHARDING, ShardingPlan
 
 KV_SINKS = 2  # attention sinks kept live in the rolling window
@@ -319,7 +319,7 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, plan: ShardingPlan):
 
 
 def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
-           kv_len, kv_dtype, rolling: bool, plan: ShardingPlan):
+           kv_len, kv_dtype, rolling: bool, rope, plan: ShardingPlan):
     """One transformer layer on a (B, T, D) activation wave.
 
     kc/vc: the FULL (L, B, KVH_local, S, hd) caches, updated in place at
@@ -344,8 +344,9 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
     v = qmatmul(xb, lw.wv) + lw.bv
     q, k, v = _clip(cfg, q), _clip(cfg, k), _clip(cfg, v)
 
-    q = rope_interleaved(q.reshape(B, T, H, hd), pos, cfg.rope_theta, cfg.rotary_dim)
-    k = rope_interleaved(k.reshape(B, T, KVH, hd), pos, cfg.rope_theta, cfg.rotary_dim)
+    cos, sin, cos1, sin1 = rope  # tables precomputed once per step
+    q = apply_rope(q.reshape(B, T, H, hd), cos, sin)
+    k = apply_rope(k.reshape(B, T, KVH, hd), cos, sin)
     v = v.reshape(B, T, KVH, hd)
 
     # write the new rows head-major at kv_pos[b, 0]: one in-place DUS per
@@ -365,8 +366,7 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         sink5 = jax.lax.dynamic_slice(
             kc, (layer, 0, 0, 0, 0), (1, B, KVH, KV_SINKS, hd))
         sink = sink5[0].transpose(0, 2, 1, 3).astype(jnp.float32)
-        rotated = rope_interleaved(sink, jnp.ones((B, KV_SINKS), jnp.int32),
-                                   cfg.rope_theta, cfg.rotary_dim)
+        rotated = apply_rope(sink, cos1, sin1)
         wrapped = (pos[:, -1] >= cfg.seq_len)[:, None, None, None]
         upd = (jnp.where(wrapped, rotated, sink).transpose(0, 2, 1, 3)
                .astype(kv_dtype)[None])
@@ -404,11 +404,18 @@ def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,
     n_layers = cache.k.shape[0]
     x = _embed(cfg, w.embed, tokens, plan)  # (B, T, D)
 
+    # rope tables depend only on pos: build once, reuse across all layers
+    B = tokens.shape[0]
+    cos, sin = rope_tables(pos, cfg.head_dim, cfg.rope_theta, cfg.rotary_dim)
+    cos1, sin1 = rope_tables(jnp.ones((B, KV_SINKS), jnp.int32),
+                             cfg.head_dim, cfg.rope_theta, cfg.rotary_dim)
+    rope = (cos, sin, cos1, sin1)
+
     def body(carry, scanned):
         x, kc, vc = carry
         lw, layer = scanned
         x, kc, vc = _layer(cfg, x, lw, layer, kc, vc, pos, kv_pos, kv_len,
-                           kv_dtype, rolling, plan)
+                           kv_dtype, rolling, rope, plan)
         return (x, kc, vc), None
 
     unroll = min(LAYER_UNROLL, cfg.n_layers)

@@ -130,6 +130,10 @@ def _qmm(x, wdata, fmt: str, interpret: bool):
         np8 = n_packed  # = N/8
         # pre-permute x so plane k aligns with xp[:, k, :] (see kernel doc)
         xp = x.astype(jnp.float32).reshape(B, np8, 8).transpose(0, 2, 1)
+        # the decode planes are live alongside the packed tile: raise the
+        # scoped VMEM cap (v5e has 128 MiB; the 16 MiB default OOMs at the
+        # 7 MiB tile size that big DMAs need)
+        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
         return pl.pallas_call(
             _gf4_qmm_kernel,
             grid=grid,
@@ -143,6 +147,7 @@ def _qmm(x, wdata, fmt: str, interpret: bool):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
             cost_estimate=cost,
+            compiler_params=params,
             interpret=interpret,
         )(xp, wdata)
 

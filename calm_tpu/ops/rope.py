@@ -21,6 +21,30 @@ def _pair_angles(pos, head_dim: int, theta: float, rotary_dim: int):
     return pos[..., None] * freq  # (..., head_dim//2)
 
 
+def rope_tables(pos, head_dim: int, theta: float, rotary_dim: int):
+    """(cos, sin) tables for positions pos, shape pos.shape + (hd//2,).
+
+    Computed once per forward step and reused by every layer (the tables
+    depend only on pos, not on the layer — recomputing the transcendentals
+    inside the layer scan costs ~0.7 ms/token on a 32-layer model)."""
+    angles = _pair_angles(pos, head_dim, theta, rotary_dim)
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(v: jnp.ndarray, cos, sin) -> jnp.ndarray:
+    """Rotate v (..., n_heads, head_dim) by precomputed tables
+    (cos/sin shaped v.shape[:-2] + (head_dim//2,))."""
+    head_dim = v.shape[-1]
+    c = cos[..., None, :]  # broadcast over heads axis
+    s = sin[..., None, :]
+    vf = v.astype(jnp.float32).reshape(*v.shape[:-1], head_dim // 2, 2)
+    v0, v1 = vf[..., 0], vf[..., 1]
+    r0 = v0 * c - v1 * s
+    r1 = v0 * s + v1 * c
+    out = jnp.stack([r0, r1], axis=-1).reshape(v.shape)
+    return out.astype(v.dtype)
+
+
 def rope_interleaved(v: jnp.ndarray, pos, theta: float, rotary_dim: int) -> jnp.ndarray:
     """Rotate v (..., n_heads, head_dim) by position(s) pos.
 
@@ -29,13 +53,5 @@ def rope_interleaved(v: jnp.ndarray, pos, theta: float, rotary_dim: int) -> jnp.
     steps and for batched prefill with a position vector).
     """
     head_dim = v.shape[-1]
-    angles = _pair_angles(pos, head_dim, theta, rotary_dim)  # (..., hd//2)
-    cos = jnp.cos(angles)[..., None, :]  # broadcast over heads axis
-    sin = jnp.sin(angles)[..., None, :]
-
-    vf = v.astype(jnp.float32).reshape(*v.shape[:-1], head_dim // 2, 2)
-    v0, v1 = vf[..., 0], vf[..., 1]
-    r0 = v0 * cos - v1 * sin
-    r1 = v0 * sin + v1 * cos
-    out = jnp.stack([r0, r1], axis=-1).reshape(v.shape)
-    return out.astype(v.dtype)
+    cos, sin = rope_tables(pos, head_dim, theta, rotary_dim)
+    return apply_rope(v, cos, sin)
