@@ -39,6 +39,12 @@ SHAPES = {
     "mixtral8x7b": dict(dim=4096, hidden_dim=14336, head_dim=128, n_layers=32,
                         n_heads=32, n_kv_heads=8, vocab_size=32000,
                         n_experts=8, n_experts_ac=2),
+    # single-chip MoE proxy: Mixtral geometry at 4 experts (8x7B gf4 is
+    # ~23 GB and needs >=2 chips; EP sharding is exercised by the mesh tests
+    # and __graft_entry__.dryrun_multichip)
+    "mixtral4x7b": dict(dim=4096, hidden_dim=14336, head_dim=128, n_layers=32,
+                        n_heads=32, n_kv_heads=8, vocab_size=32000,
+                        n_experts=4, n_experts_ac=2),
     "tiny": dict(dim=256, hidden_dim=512, head_dim=64, n_layers=2,
                  n_heads=4, n_kv_heads=2, vocab_size=2048),
 }

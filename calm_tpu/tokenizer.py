@@ -17,6 +17,7 @@ Functional contract mirrors the reference tokenizer (src/tokenizer.c):
 from __future__ import annotations
 
 import heapq
+import os
 
 import numpy as np
 
@@ -51,6 +52,18 @@ class Tokenizer:
             if tid >= 0:
                 self.eot_id = tid
                 break
+
+        # the C++ heap-merge encoder (native/tokenizer.cc) produces identical
+        # ids; use it when built unless CALM_TPU_NO_NATIVE disables it
+        self._native = None
+        if not os.environ.get("CALM_TPU_NO_NATIVE"):
+            try:
+                from calm_tpu import native
+                if native.available():
+                    self._native = native.NativeTokenizer(
+                        pieces, self.scores, bos_id)
+            except Exception:
+                self._native = None
 
     # -- construction -------------------------------------------------------
 
@@ -89,6 +102,11 @@ class Tokenizer:
 
     def encode(self, text: str | bytes, bos: bool = False, eos: bool = False) -> list[int]:
         data = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+        if self._native is not None:
+            tokens = self._native.encode(data, bos=bos)
+            if eos and self.eos_id >= 0:
+                tokens.append(self.eos_id)
+            return tokens
         tokens: list[int] = []
         if bos and self.bos_id >= 0:
             tokens.append(self.bos_id)
