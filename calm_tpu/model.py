@@ -280,7 +280,8 @@ def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len):
     return out.reshape(B, T, H * hd)
 
 
-def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, plan: ShardingPlan):
+def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
+             plan: ShardingPlan):
     """Top-k routed MoE ffn; returns the (partial) residual contribution.
 
     Routing mirrors the reference gate (src/infer.c:277-305): softmax over
@@ -290,20 +291,45 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, plan: ShardingPlan):
     reassembles (reference has no EP — single-GPU gathers all active experts,
     src/infer.cu:597-620).
     """
-    gate = qmatmul(xb2, lw.moegate)                        # (B, T, E) replicated
+    gate = qmatmul(xb2, lw.moegate, layer=layer)           # (B, T, E) replicated
     top_vals, top_idx = jax.lax.top_k(gate, cfg.n_experts_ac)
     moe_w = jax.nn.softmax(top_vals, axis=-1)              # (B, T, A)
 
-    e_local = lw.w1.data.shape[0]                          # local expert count
+    e_local = lw.w1.data.shape[1]                          # local expert count
     if plan.ep is not None:
         off = jax.lax.axis_index(plan.ep) * e_local
     else:
         off = 0
 
+    # decode fast path: expert-indexed Pallas matvecs stream exactly the
+    # active experts' packed bytes (the vmap formulation below lowers to an
+    # XLA gather that copies each expert weight — 3x the HBM traffic)
+    B, T, D = xb2.shape
+    if pallas_decode_enabled():
+        from calm_tpu.ops import pallas_qmm
+        if (pallas_qmm.moe_supported(xb2.shape, lw.w1.data, lw.w1.fmt)
+                and pallas_qmm.moe_supported(
+                    (B * T, lw.w2.data.shape[-1] * (8 if lw.w2.fmt == "gf4" else 1)),
+                    lw.w2.data, lw.w2.fmt)):
+            xf = xb2.reshape(B * T, D).astype(jnp.float32)
+            out = jnp.zeros((B * T, D), jnp.float32)
+            for a in range(cfg.n_experts_ac):
+                e = top_idx[..., a].reshape(B * T)
+                lid = jnp.clip(e - off, 0, e_local - 1)
+                ok = ((e - off >= 0) & (e - off < e_local)).astype(jnp.float32)
+                h = (_act(cfg, pallas_qmm.qmm_moe(xf, lw.w1.data, lid,
+                                                  lw.w1.fmt, layer))
+                     * pallas_qmm.qmm_moe(xf, lw.w3.data, lid, lw.w3.fmt,
+                                          layer))
+                o = pallas_qmm.qmm_moe(h, lw.w2.data, lid, lw.w2.fmt, layer)
+                w_a = moe_w[..., a].reshape(B * T)
+                out = out + o * (w_a * ok)[:, None]
+            return out.reshape(B, T, D)
+
     def expert_ffn(lidx, xin):                             # lidx scalar, xin (D,)
-        w1 = QTensor(lw.w1.data[lidx], lw.w1.fmt)
-        w2 = QTensor(lw.w2.data[lidx], lw.w2.fmt)
-        w3 = QTensor(lw.w3.data[lidx], lw.w3.fmt)
+        w1 = QTensor(lw.w1.data[layer, lidx], lw.w1.fmt)
+        w2 = QTensor(lw.w2.data[layer, lidx], lw.w2.fmt)
+        w3 = QTensor(lw.w3.data[layer, lidx], lw.w3.fmt)
         h = _act(cfg, qmatmul(xin, w1)) * qmatmul(xin, w3)
         return qmatmul(h, w2)                              # (D,) partial over tp
 
@@ -333,15 +359,18 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
     """
     B, T, D = x.shape
     hd = cfg.head_dim
-    q_local = lw.wq.shape[0]   # q_dim / tp
-    kv_local = lw.wk.shape[0]  # kv_dim / tp
+    q_local = lw.wq.shape[1]   # q_dim / tp  (stacked: (L, d, n))
+    kv_local = lw.wk.shape[1]  # kv_dim / tp
     H, KVH = q_local // hd, kv_local // hd
 
-    xb = _norm(cfg, x, lw.attn_norm)
+    def row(a):  # per-layer slice of a small stacked tensor (XLA fuses it)
+        return jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
 
-    q = qmatmul(xb, lw.wq) + lw.bq
-    k = qmatmul(xb, lw.wk) + lw.bk
-    v = qmatmul(xb, lw.wv) + lw.bv
+    xb = _norm(cfg, x, row(lw.attn_norm))
+
+    q = qmatmul(xb, lw.wq, layer=layer) + row(lw.bq)
+    k = qmatmul(xb, lw.wk, layer=layer) + row(lw.bk)
+    v = qmatmul(xb, lw.wv, layer=layer) + row(lw.bv)
     q, k, v = _clip(cfg, q), _clip(cfg, k), _clip(cfg, v)
 
     cos, sin, cos1, sin1 = rope  # tables precomputed once per step
@@ -373,18 +402,20 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         kc = jax.lax.dynamic_update_slice(kc, upd, (layer, 0, 0, 0, 0))
 
     att = _attention(cfg, q, kc, vc, layer, pos, kv_len)
-    x = x + _psum(qmatmul(att, lw.wo), (plan.tp,) if plan.tp else ())
+    x = x + _psum(qmatmul(att, lw.wo, layer=layer),
+                  (plan.tp,) if plan.tp else ())
 
     # parallel-norm architectures (Cohere) feed the ffn from the attn-normed
     # input instead of re-normalizing (reference: src/infer.c:417-420)
-    xb2 = xb if cfg.norm_par else _norm(cfg, x, lw.ffn_norm)
+    xb2 = xb if cfg.norm_par else _norm(cfg, x, row(lw.ffn_norm))
 
     if cfg.n_experts:
-        ffn = _moe_ffn(cfg, xb2, lw, plan)
+        ffn = _moe_ffn(cfg, xb2, lw, layer, plan)
         x = x + _psum(ffn, plan.axes)  # close tp (hidden) and ep (experts)
     else:
-        h = _act(cfg, qmatmul(xb2, lw.w1)) * qmatmul(xb2, lw.w3)
-        ffn = qmatmul(h, lw.w2)
+        h = (_act(cfg, qmatmul(xb2, lw.w1, layer=layer))
+             * qmatmul(xb2, lw.w3, layer=layer))
+        ffn = qmatmul(h, lw.w2, layer=layer)
         x = x + _psum(ffn, (plan.tp,) if plan.tp else ())
 
     return x, kc, vc
@@ -411,11 +442,10 @@ def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,
                              cfg.head_dim, cfg.rope_theta, cfg.rotary_dim)
     rope = (cos, sin, cos1, sin1)
 
-    def body(carry, scanned):
+    def body(carry, layer):
         x, kc, vc = carry
-        lw, layer = scanned
-        x, kc, vc = _layer(cfg, x, lw, layer, kc, vc, pos, kv_pos, kv_len,
-                           kv_dtype, rolling, rope, plan)
+        x, kc, vc = _layer(cfg, x, w.layers, layer, kc, vc, pos, kv_pos,
+                           kv_len, kv_dtype, rolling, rope, plan)
         return (x, kc, vc), None
 
     unroll = min(LAYER_UNROLL, cfg.n_layers)
@@ -423,7 +453,7 @@ def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,
         unroll = 1
     (x, k_new, v_new), _ = jax.lax.scan(
         body, (x, cache.k, cache.v),
-        (w.layers, jnp.arange(n_layers, dtype=jnp.int32)), unroll=unroll)
+        jnp.arange(n_layers, dtype=jnp.int32), unroll=unroll)
     cache = KVCache(k_new, v_new)
 
     if logits_mode == "none":

@@ -67,15 +67,33 @@ def _dequant_tile(w, fmt: str):
     raise ValueError(fmt)
 
 
-def _qmm_kernel(x_ref, w_ref, o_ref, *, fmt: str):
-    wf = _dequant_tile(w_ref[:], fmt)  # (TD, N) bf16
+def _pick_tile(d: int, packed_row_bytes: int) -> int:
+    """Output-row tile: target ~7 MiB per weight block (v5e VMEM is large
+    enough to double-buffer two such blocks, and bigger DMAs measure much
+    closer to the HBM ceiling: 7 MiB tiles sustain ~360 GB/s on gf4 vs
+    ~230 GB/s at 1.5 MiB). The tile is the output's lane axis, so it must be
+    a multiple of 128 (or cover d exactly)."""
+    target = 7 << 20
+    td = max(128, min(d, target // max(packed_row_bytes, 1)))
+    td = (td // 128) * 128
+    return min(max(td, 128), d) if d % 128 == 0 else max(td, 128)
+
+
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# the decode planes are live alongside the packed tile: raise the scoped
+# VMEM cap (v5e has 128 MiB; the 16 MiB default OOMs at the 7 MiB tile
+# size that big DMAs need)
+
+
+def _layered_qmm_kernel(lref, x_ref, w_ref, o_ref, *, fmt: str):
+    wf = _dequant_tile(w_ref[0], fmt)  # (TD, N)
     o_ref[:] = jax.lax.dot_general(
         x_ref[:].astype(jnp.bfloat16), wf,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
-def _gf4_qmm_kernel(xp_ref, w_ref, o_ref):
+def _layered_gf4_kernel(lref, xp_ref, w_ref, o_ref):
     """gf4 matvec without any lane relayout.
 
     A (TD, N/8, 8) -> (TD, N) interleave is unsupported by the Mosaic layout
@@ -84,9 +102,7 @@ def _gf4_qmm_kernel(xp_ref, w_ref, o_ref):
     pre-permuted x (x[k::8] lives at xp[:, k, :]) — 8 partial MXU dots,
     f32-accumulated. Same column permutation on both operands = same result.
     """
-    wu = pltpu.bitcast(w_ref[:], jnp.uint32)  # (TD, N/8)
-    # fp8-e5m2 scale byte decoded via integer placement + rebias multiply,
-    # with the -0.25 gf4 normalization folded in (src/helpers.cuh:100-113)
+    wu = pltpu.bitcast(w_ref[0], jnp.uint32)  # (TD, N/8)
     sf = pltpu.bitcast(((wu & 0x80) << 24) | ((wu & 0x7F) << 21), jnp.float32)
     scale = sf * (-0.25 * _REBIAS)
     acc = None
@@ -101,24 +117,20 @@ def _gf4_qmm_kernel(xp_ref, w_ref, o_ref):
     o_ref[:] = acc
 
 
-def _pick_tile(d: int, packed_row_bytes: int) -> int:
-    """Output-row tile: target ~7 MiB per weight block (v5e VMEM is large
-    enough to double-buffer two such blocks, and bigger DMAs measure much
-    closer to the HBM ceiling: 7 MiB tiles sustain ~360 GB/s on gf4 vs
-    ~230 GB/s at 1.5 MiB). The tile is the output's lane axis, so it must be
-    a multiple of 128 (or cover d exactly)."""
-    target = 7 << 20
-    td = max(128, min(d, target // max(packed_row_bytes, 1)))
-    td = (td // 128) * 128
-    return min(max(td, 128), d) if d % 128 == 0 else max(td, 128)
-
-
 @functools.partial(jax.jit, static_argnames=("fmt", "interpret"))
-def _qmm(x, wdata, fmt: str, interpret: bool):
+def _qmm(x, wdata, layer, fmt: str, interpret: bool):
+    """Matvec against layer ``layer`` of the stacked (L, d, n_packed) weight.
+
+    The layer index rides in the scalar-prefetch operand and feeds the
+    weight BlockSpec's index map, so the kernel streams its layer's packed
+    bytes straight from the full stacked array — handing a scan-sliced
+    (d, n_packed) weight to a custom call instead makes XLA materialize the
+    slice (a full weight copy per layer per token, measured: gf4 decode
+    drops from ~360 to ~200 GB/s).
+    """
     B = x.shape[0]
-    d = wdata.shape[0]
+    L, d, n_packed = wdata.shape
     packed_bytes = {"fp16": 2, "fp8": 1, "gf4": 4}[fmt]
-    n_packed = wdata.shape[1]
     td = _pick_tile(d, n_packed * packed_bytes)
     grid = (pl.cdiv(d, td),)
     cost = pl.CostEstimate(
@@ -126,70 +138,192 @@ def _qmm(x, wdata, fmt: str, interpret: bool):
         bytes_accessed=d * n_packed * packed_bytes + 4 * B * (d + x.shape[1]),
         transcendentals=0)
 
+    def w_map(i, lref):
+        return (lref[0], i, 0)
+
     if fmt == "gf4":
         np8 = n_packed  # = N/8
         # pre-permute x so plane k aligns with xp[:, k, :] (see kernel doc)
         xp = x.astype(jnp.float32).reshape(B, np8, 8).transpose(0, 2, 1)
-        # the decode planes are live alongside the packed tile: raise the
-        # scoped VMEM cap (v5e has 128 MiB; the 16 MiB default OOMs at the
-        # 7 MiB tile size that big DMAs need)
-        params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-        return pl.pallas_call(
-            _gf4_qmm_kernel,
-            grid=grid,
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
             in_specs=[
-                pl.BlockSpec((B, 8, np8), lambda i: (0, 0, 0),
+                pl.BlockSpec((B, 8, np8), lambda i, l: (0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((td, np8), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, td, np8), w_map, memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((B, td), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((B, td), lambda i, l: (0, i),
+                                   memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            _layered_gf4_kernel,
+            grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
             cost_estimate=cost,
-            compiler_params=params,
+            compiler_params=_VMEM_PARAMS,
             interpret=interpret,
-        )(xp, wdata)
+        )(layer.astype(jnp.int32)[None], xp, wdata)
 
     if fmt == "fp16":  # Mosaic has no f16: kernel decodes raw bits
         wdata = jax.lax.bitcast_convert_type(wdata, jnp.uint16)
 
-    return pl.pallas_call(
-        functools.partial(_qmm_kernel, fmt=fmt),
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
         in_specs=[
-            pl.BlockSpec((B, x.shape[1]), lambda i: (0, 0),
+            pl.BlockSpec((B, x.shape[1]), lambda i, l: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((td, n_packed), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, td, n_packed), w_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, td), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((B, td), lambda i, l: (0, i),
+                               memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        functools.partial(_layered_qmm_kernel, fmt=fmt),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
         cost_estimate=cost,
+        compiler_params=_VMEM_PARAMS,
         interpret=interpret,
-    )(x.astype(jnp.float32), wdata)
+    )(layer.astype(jnp.int32)[None], x.astype(jnp.float32), wdata)
 
 
-def qmm_decode(x: jax.Array, wdata: jax.Array, fmt: str) -> jax.Array:
-    """x (B, n) f32 @ W^T for packed W (d, n_packed) -> (B, d) f32."""
-    return _qmm(x, wdata, fmt, _INTERPRET)
+def qmm_decode(x: jax.Array, wdata: jax.Array, fmt: str,
+               layer=None) -> jax.Array:
+    """x (B, n) f32 @ W[layer]^T for packed stacked W (L, d, n_packed)
+    -> (B, d) f32. A 2-D W is treated as a single-layer stack."""
+    if wdata.ndim == 2:
+        wdata = wdata[None]
+        layer = jnp.int32(0)
+    return _qmm(x, wdata, jnp.asarray(layer, jnp.int32), fmt, _INTERPRET)
 
 
-def supported(x_shape, wdata, fmt: str) -> bool:
-    """Use the Pallas path for small-row decode matvecs with lane-aligned
-    contraction; everything else stays on the XLA path (prefill rides MXU)."""
+# ---------------------------------------------------------------------------
+# expert-indexed matvec for MoE decode
+# ---------------------------------------------------------------------------
+
+
+def _moe_kernel(sref, x_ref, w_ref, o_ref, *, fmt: str):
+    wf = _dequant_tile(w_ref[0, 0], fmt)  # (TD, N)
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:].astype(jnp.bfloat16), wf,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _moe_gf4_kernel(sref, xp_ref, w_ref, o_ref):
+    wu = pltpu.bitcast(w_ref[0, 0], jnp.uint32)  # (TD, N/8)
+    sf = pltpu.bitcast(((wu & 0x80) << 24) | ((wu & 0x7F) << 21), jnp.float32)
+    scale = sf * (-0.25 * _REBIAS)
+    acc = None
+    for k in range(8):
+        codes = ((wu >> (8 + 3 * k)) & 7).astype(jnp.int32).astype(jnp.float32)
+        plane = ((codes - 4.0) * scale).astype(jnp.bfloat16)
+        d = jax.lax.dot_general(
+            xp_ref[0, k][None].astype(jnp.bfloat16), plane,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "interpret"))
+def _qmm_moe(x, wstack, layer, eidx, fmt: str, interpret: bool):
+    """Rows of x dot their OWN expert's weight, selected without a gather.
+
+    x (B, n); wstack (L, E, d, n_packed); eidx (B,) int32 expert per row ->
+    (B, d). Layer AND expert indices ride in the scalar-prefetch operand
+    (sref = [layer, e_0..e_{B-1}]) and feed the weight BlockSpec's index
+    map, so each row streams exactly its expert's packed bytes from HBM —
+    no expert-weight copy (the XLA gather the vmap formulation lowers to
+    costs 3x the traffic). This is the decode analogue of the reference
+    gathering only active experts on-chip (src/infer.cu:597-620).
+    """
+    B = x.shape[0]
+    L, E, d, n_packed = wstack.shape
+    packed_bytes = {"fp16": 2, "fp8": 1, "gf4": 4}[fmt]
+    td = _pick_tile(d, n_packed * packed_bytes)
+    grid = (B, pl.cdiv(d, td))
+    sref = jnp.concatenate([layer.astype(jnp.int32)[None],
+                            eidx.astype(jnp.int32)])
+
+    def w_map(b, i, sref):
+        return (sref[0], sref[b + 1], i, 0)
+
+    if fmt == "gf4":
+        np8 = n_packed
+        xp = x.astype(jnp.float32).reshape(B, np8, 8).transpose(0, 2, 1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 8, np8), lambda b, i, s: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, td, np8), w_map, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, td), lambda b, i, s: (b, i),
+                                   memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            _moe_gf4_kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
+            compiler_params=_VMEM_PARAMS, interpret=interpret,
+        )(sref, xp, wstack)
+
+    if fmt == "fp16":
+        wstack = jax.lax.bitcast_convert_type(wstack, jnp.uint16)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, x.shape[1]), lambda b, i, s: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, td, n_packed), w_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, td), lambda b, i, s: (b, i),
+                               memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        functools.partial(_moe_kernel, fmt=fmt), grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
+        compiler_params=_VMEM_PARAMS, interpret=interpret,
+    )(sref, x.astype(jnp.float32), wstack)
+
+
+def qmm_moe(x: jax.Array, wstack: jax.Array, eidx: jax.Array, fmt: str,
+            layer=None) -> jax.Array:
+    """Per-row expert matvec: x (B, n) @ wstack[layer, eidx[b]]^T -> (B, d).
+    A 3-D (E, d, n_packed) wstack is treated as a single-layer stack."""
+    if wstack.ndim == 3:
+        wstack = wstack[None]
+        layer = jnp.int32(0)
+    return _qmm_moe(x, wstack, jnp.asarray(layer, jnp.int32), eidx, fmt,
+                    _INTERPRET)
+
+
+def moe_supported(x_shape, wstack, fmt: str) -> bool:
     if fmt not in ("fp16", "fp8", "gf4"):
         return False
-    if wdata.ndim != 2:
+    if wstack.ndim not in (3, 4):
+        return False
+    n = wstack.shape[-1] * (8 if fmt == "gf4" else 1)
+    if x_shape[-1] != n or wstack.shape[-1] % 128 != 0:
         return False
     rows = 1
     for s in x_shape[:-1]:
         rows *= s
-    n = wdata.shape[1] * (8 if fmt == "gf4" else 1)
+    return rows <= 16
+
+
+def supported(x_shape, wdata, fmt: str) -> bool:
+    """Use the Pallas path for small-row decode matvecs with lane-aligned
+    contraction; everything else stays on the XLA path (prefill rides MXU).
+    wdata may be a 2-D weight or a layer-stacked 3-D weight."""
+    if fmt not in ("fp16", "fp8", "gf4"):
+        return False
+    if wdata.ndim not in (2, 3):
+        return False
+    rows = 1
+    for s in x_shape[:-1]:
+        rows *= s
+    n = wdata.shape[-1] * (8 if fmt == "gf4" else 1)
     if x_shape[-1] != n:
         return False
     # lane alignment of the packed minor axis
-    if wdata.shape[1] % 128 != 0:
+    if wdata.shape[-1] % 128 != 0:
         return False
     return rows <= 16

@@ -98,8 +98,16 @@ def enable_pallas(on: bool = True):
     _USE_PALLAS = on
 
 
-def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
+def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32,
+            layer=None) -> jax.Array:
     """x (..., n) @ W^T for W (d, n) logical -> (..., d).
+
+    When ``layer`` is given, qt.data is the LAYER-STACKED (L, d, n_packed)
+    weight and the dot runs against plane ``layer`` — the layer scan passes
+    the full stack plus a traced index instead of a scan-sliced weight, so
+    XLA fuses the slice into its dot and the Pallas kernels index the stack
+    through scalar prefetch (a scan-xs slice handed to a custom call is
+    materialized: one full weight copy per layer per token).
 
     Row-major (d, n) weight layout follows the container contract
     (reference: src/model.h:41-48); the contraction is over the last axis of
@@ -116,18 +124,25 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
     The precise path (f32 dequant + f32 dot) remains the default off-TPU and
     is the numerical reference for tests.
     """
+    if (_USE_PALLAS and out_dtype == jnp.float32 and qt.fmt == "gf4"
+            and (layer is not None) == (qt.data.ndim == 3)):
+        from calm_tpu.ops import pallas_qmm
+        if pallas_qmm.supported(x.shape, qt.data, qt.fmt):
+            lead = x.shape[:-1]
+            rows = 1
+            for s in lead:
+                rows *= s
+            out = pallas_qmm.qmm_decode(
+                x.reshape(rows, x.shape[-1]).astype(jnp.float32),
+                qt.data, qt.fmt, layer)
+            return out.reshape(*lead, out.shape[-1])
+
+    data = qt.data
+    if layer is not None:
+        data = jax.lax.dynamic_index_in_dim(data, layer, 0, keepdims=False)
+    qt = QTensor(data, qt.fmt)
+
     if _USE_PALLAS and out_dtype == jnp.float32:
-        if qt.fmt == "gf4":
-            from calm_tpu.ops import pallas_qmm
-            if pallas_qmm.supported(x.shape, qt.data, qt.fmt):
-                lead = x.shape[:-1]
-                rows = 1
-                for s in lead:
-                    rows *= s
-                out = pallas_qmm.qmm_decode(
-                    x.reshape(rows, x.shape[-1]).astype(jnp.float32),
-                    qt.data, qt.fmt)
-                return out.reshape(*lead, qt.data.shape[0])
         w = dequant(qt, jnp.bfloat16)
         return jax.lax.dot_general(
             x.astype(jnp.bfloat16), w,
