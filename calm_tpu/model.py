@@ -280,6 +280,31 @@ def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len):
     return out.reshape(B, T, H * hd)
 
 
+def _attention_fresh(cfg: ModelConfig, q, k, v, q_pos):
+    """Causal attention over freshly-projected K/V (no cache read) — the
+    sequence-parallel prefill path: each sp shard attends its local queries
+    (absolute positions q_pos) against the all-gathered K/V of the whole
+    prompt. k/v absolute positions are 0..T_full-1 (sp prefill requires
+    pos0 == 0)."""
+    B, T, H, hd = q.shape
+    KVH, T_full = k.shape[2], k.shape[1]
+    M = H // KVH
+    cdt = jnp.bfloat16 if pallas_decode_enabled() else jnp.float32
+
+    qf = q.reshape(B, T, KVH, M, hd).astype(cdt)
+    kf = k.transpose(0, 2, 1, 3).astype(cdt)   # (B, KVH, T_full, hd)
+    vf = v.transpose(0, 2, 1, 3).astype(cdt)
+
+    scores = jnp.einsum("btkmh,bksh->bkmts", qf, kf,
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
+    causal = jnp.arange(T_full)[None, None, :] <= q_pos[:, :, None]
+    scores = jnp.where(causal[:, None, None, :, :], scores, -jnp.inf)
+    att = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkmts,bksh->btkmh", att.astype(cdt), vf,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(B, T, H * hd)
+
+
 def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
              plan: ShardingPlan):
     """Top-k routed MoE ffn; returns the (partial) residual contribution.
@@ -401,7 +426,19 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
                .astype(kv_dtype)[None])
         kc = jax.lax.dynamic_update_slice(kc, upd, (layer, 0, 0, 0, 0))
 
-    att = _attention(cfg, q, kc, vc, layer, pos, kv_len)
+    if plan.sp is not None and T > 1:
+        # sequence-parallel prefill: all-gather the fresh K/V chunks over sp
+        # (cache rows are S-sharded; reading them back would need the same
+        # collective anyway) and attend local queries causally. Gather at
+        # cache precision: halves the collective bytes and keeps numerics
+        # identical to the cache-read path.
+        k_all = jax.lax.all_gather(k.astype(kv_dtype), plan.sp, axis=1,
+                                   tiled=True)
+        v_all = jax.lax.all_gather(v.astype(kv_dtype), plan.sp, axis=1,
+                                   tiled=True)
+        att = _attention_fresh(cfg, q, k_all, v_all, pos)
+    else:
+        att = _attention(cfg, q, kc, vc, layer, pos, kv_len)
     x = x + _psum(qmatmul(att, lw.wo, layer=layer),
                   (plan.tp,) if plan.tp else ())
 
@@ -502,6 +539,31 @@ def prefill_fn(cfg: ModelConfig, w: Weights, tokens, pos0, cache: KVCache,
     kv_len = pos0 + T
     return _forward(cfg, w, tokens, pos, pos, kv_len, cache,
                     rolling=False, logits_mode=logits_mode, plan=plan)
+
+
+def prefill_sp_fn(cfg: ModelConfig, w: Weights, tokens, cache: KVCache,
+                  plan: ShardingPlan):
+    """Sequence-parallel full-window prefill (runs under shard_map).
+
+    tokens: the LOCAL (B, T_local) chunk of a prompt sharded over plan.sp in
+    mesh-axis order; cache: the local S-shard (S_local == T_local). Each
+    shard projects QKV for its chunk at its absolute positions, K/V are
+    all-gathered for the causal attention (see _attention_fresh), and the
+    chunk's rows land in the local cache shard. Requires pos0 == 0 and
+    T_total == seq_len — the long-context ingestion case (the reference has
+    no sequence parallelism at all, SURVEY.md §2.3). Returns per-shard
+    logits (B, T_local, V_local) and the cache shard.
+    """
+    B, T_local = tokens.shape
+    i = jax.lax.axis_index(plan.sp)
+    pos = (i * T_local
+           + jnp.broadcast_to(jnp.arange(T_local, dtype=jnp.int32)[None, :],
+                              (B, T_local)))
+    kv_pos = jnp.broadcast_to(jnp.arange(T_local, dtype=jnp.int32)[None, :],
+                              (B, T_local))  # rows within the local S shard
+    kv_len = jnp.full((B,), T_local, jnp.int32)
+    return _forward(cfg, w, tokens, pos, kv_pos, kv_len, cache,
+                    rolling=False, logits_mode="all", plan=plan)
 
 
 def decode_scan_fn(cfg: ModelConfig, w: Weights, token, pos0, cache: KVCache,

@@ -12,9 +12,19 @@ Fixed conventions (the "megatron" layout adapted to decode):
 - ``ep``: MoE expert axis. Each shard owns E/ep experts; routing is computed
   replicated, each shard evaluates only its resident active experts (masked),
   and expert outputs reassemble in the same psum that closes the ffn.
+- ``dp``: data/batch axis for continuous batching — sequence slots are
+  spread over the axis; the layer code is batch-local so dp needs no
+  collectives (logits/cache come back batch-sharded).
+- ``sp``: sequence-parallel prefill — prompt tokens are sharded along T,
+  each shard projects QKV for its chunk, fresh K/V are all-gathered for the
+  causal attention, and each shard writes its chunk's rows of the
+  S-sharded cache. Used for long-context ingestion (pos0 == 0, T == S);
+  decode (T == 1) ignores sp. May name the same mesh axis as dp (data-
+  parallel decode + sequence-parallel prefill on one axis).
 
 Requirements: n_kv_heads % tp == 0, hidden_dim % tp == 0 (with gf4:
-(hidden/tp) % 8 == 0), vocab % tp == 0, n_experts % ep == 0.
+(hidden/tp) % 8 == 0), vocab % tp == 0, n_experts % ep == 0, batch % dp == 0
+for decode, seq_len % sp == 0 for prefill.
 """
 
 from __future__ import annotations
@@ -26,6 +36,8 @@ import dataclasses
 class ShardingPlan:
     tp: str | None = None   # tensor-parallel mesh axis name
     ep: str | None = None   # expert-parallel mesh axis name
+    dp: str | None = None   # data/batch-parallel mesh axis name
+    sp: str | None = None   # sequence-parallel (prefill) mesh axis name
 
     @property
     def axes(self) -> tuple[str, ...]:

@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from calm_tpu.config import ModelConfig
 from calm_tpu.model import (KVCache, LayerWeights, Weights, decode_step_fn,
-                            prefill_fn)
+                            prefill_fn, prefill_sp_fn)
 from calm_tpu.ops.qmm import QTensor
 from calm_tpu.parallel.plan import ShardingPlan
 
@@ -59,10 +59,11 @@ def weight_pspecs(cfg: ModelConfig, plan: ShardingPlan) -> Weights:
                    final_norm=P(None), output=qt(P(tp, None)))
 
 
-def cache_pspecs(plan: ShardingPlan) -> KVCache:
-    # (L, B, KVH, S, hd): shard the kv-head axis
-    return KVCache(k=P(None, None, plan.tp, None, None),
-                   v=P(None, None, plan.tp, None, None))
+def cache_pspecs(plan: ShardingPlan, sp: bool = False) -> KVCache:
+    # (L, B, KVH, S, hd): kv-heads shard over tp, sequence slots over dp,
+    # and (for sequence-parallel prefill) cache rows over sp
+    spec = P(None, plan.dp, plan.tp, plan.sp if sp else None, None)
+    return KVCache(k=spec, v=spec)
 
 
 def _tree_shardings(mesh: Mesh, spec_tree):
@@ -87,16 +88,33 @@ def shard_cache(cache: KVCache, mesh: Mesh, plan: ShardingPlan) -> KVCache:
 
 def sharded_decode_step(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
     """Build the jitted multi-chip decode step: (w, token, pos, cache) ->
-    (logits (B, V) fully assembled, cache)."""
+    (logits (B, V), cache). Under dp, token/pos/cache/logits are
+    batch-sharded (the layer is batch-local: dp adds zero collectives)."""
     wspecs = weight_pspecs(cfg, plan)
     cspecs = cache_pspecs(plan)
-    rep = P()
+    batch = P(plan.dp)
 
     fn = shard_map(partial(decode_step_fn, cfg, plan=plan), mesh=mesh,
-                   in_specs=(wspecs, rep, rep, cspecs),
-                   out_specs=(P(None, plan.tp), cspecs),
+                   in_specs=(wspecs, batch, batch, cspecs),
+                   out_specs=(P(plan.dp, plan.tp), cspecs),
                    check_vma=False)
     return jax.jit(fn, donate_argnums=(3,))
+
+
+def sharded_prefill_sp(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
+    """Build the jitted sequence-parallel full-window prefill:
+    (w, tokens (B, T==seq_len), cache) -> (logits (B, T, V), cache).
+    Prompt chunks shard over plan.sp; fresh K/V all-gather inside each layer
+    (model.prefill_sp_fn); cache rows come back S-sharded over sp."""
+    assert plan.sp is not None
+    wspecs = weight_pspecs(cfg, plan)
+    cspecs = cache_pspecs(plan, sp=True)
+
+    fn = shard_map(partial(prefill_sp_fn, cfg, plan=plan), mesh=mesh,
+                   in_specs=(wspecs, P(None, plan.sp), cspecs),
+                   out_specs=(P(None, plan.sp, plan.tp), cspecs),
+                   check_vma=False)
+    return jax.jit(fn, donate_argnums=(2,))
 
 
 def sharded_prefill(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
@@ -104,15 +122,15 @@ def sharded_prefill(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
     """Build the jitted multi-chip prefill: (w, tokens, pos0, cache)."""
     wspecs = weight_pspecs(cfg, plan)
     cspecs = cache_pspecs(plan)
-    rep = P()
+    batch = P(plan.dp)
     if logits_mode == "last":
-        out_logits = P(None, plan.tp)
+        out_logits = P(plan.dp, plan.tp)
     elif logits_mode == "all":
-        out_logits = P(None, None, plan.tp)
+        out_logits = P(plan.dp, None, plan.tp)
     else:
         out_logits = None
 
     fn = shard_map(partial(prefill_fn, cfg, logits_mode=logits_mode, plan=plan),
-                   mesh=mesh, in_specs=(wspecs, rep, rep, cspecs),
+                   mesh=mesh, in_specs=(wspecs, P(plan.dp, None), batch, cspecs),
                    out_specs=(out_logits, cspecs), check_vma=False)
     return jax.jit(fn, donate_argnums=(3,))

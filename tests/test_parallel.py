@@ -101,3 +101,56 @@ def test_plan_validation():
     plan = ShardingPlan(tp="tp")
     with pytest.raises(AssertionError):
         plan.validate(cfg, tp_size=3, ep_size=1)  # kv_heads=2 not divisible
+
+
+def test_dp2_decode(tmp_path):
+    """Batch-sharded decode: two slots per dp shard must match unsharded."""
+    cfg = tiny_config(dtype="fp16")
+    w = build(tmp_path, cfg)
+    want = reference_logits(cfg, w, TOKENS)
+
+    plan = ShardingPlan(tp="tp", dp="dp")
+    mesh = make_mesh(tp=2, dp=2)
+    ws = shard_weights(w, cfg, mesh, plan)
+    B = 4
+    cache = shard_cache(M.KVCache.create(cfg, B, jnp.float16), mesh, plan)
+    step = sharded_decode_step(cfg, mesh, plan)
+    out = []
+    for pos, tok in enumerate(TOKENS):
+        logits, cache = step(ws, jnp.full((B,), tok, jnp.int32),
+                             jnp.full((B,), pos, jnp.int32), cache)
+        out.append(np.asarray(logits))
+    got = np.stack(out)  # (T, B, V)
+    for b in range(B):
+        np.testing.assert_allclose(got[:, b], want, rtol=1e-4, atol=1e-4)
+
+
+def test_sp_prefill_parity(tmp_path):
+    """Sequence-parallel full-window prefill matches the plain prefill."""
+    from calm_tpu.parallel.sharding import (_tree_shardings, cache_pspecs,
+                                            sharded_prefill_sp)
+
+    cfg = tiny_config(dtype="fp16", seq_len=16)
+    w = build(tmp_path, cfg)
+    prompt = jnp.asarray([[1, 5, 9, 200, 42, 7, 3, 11,
+                           8, 2, 250, 17, 33, 4, 99, 6]], jnp.int32)
+
+    # reference: plain single-device full-window prefill
+    cache = M.KVCache.create(cfg, 1, jnp.float16)
+    want, want_cache = M.prefill(cfg, w, prompt, jnp.zeros((1,), jnp.int32),
+                                 cache, logits_mode="all")
+
+    plan = ShardingPlan(tp="tp", sp="dp")
+    mesh = make_mesh(tp=2, dp=4)
+    ws = shard_weights(w, cfg, mesh, plan)
+    sp_cache = jax.device_put(
+        M.KVCache.create(cfg, 1, jnp.float16),
+        _tree_shardings(mesh, cache_pspecs(plan, sp=True)))
+    spf = sharded_prefill_sp(cfg, mesh, plan)
+    got, got_cache = spf(ws, prompt, sp_cache)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_cache.k, dtype=np.float32),
+        np.asarray(want_cache.k, dtype=np.float32), rtol=1e-3, atol=1e-3)
