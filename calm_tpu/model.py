@@ -541,6 +541,33 @@ def prefill_fn(cfg: ModelConfig, w: Weights, tokens, pos0, cache: KVCache,
                     rolling=False, logits_mode=logits_mode, plan=plan)
 
 
+def decode_scan_sampled_fn(cfg: ModelConfig, w: Weights, token, pos0,
+                           cache: KVCache, n_steps: int, key,
+                           temperature, minp,
+                           plan: ShardingPlan = NO_SHARDING):
+    """Sampled decode of n_steps tokens entirely on device: min-p sampling
+    (calm_tpu.sampler.device_sample) runs inside the scan, so the host sees
+    only the final (B, N) token ids — no per-token logits transfer. key is a
+    jax PRNG key; temperature/minp are per-slot (B,) arrays."""
+    from calm_tpu.sampler import device_sample
+
+    def body(carry, _):
+        tok, pos, cache, key = carry
+        logits, cache = decode_step_fn(cfg, w, tok, pos, cache, plan)
+        key, sub = jax.random.split(key)
+        nxt = device_sample(logits, sub, temperature, minp)
+        return (nxt, pos + 1, cache, key), nxt
+
+    (_, _, cache, _), toks = jax.lax.scan(
+        body, (token, pos0, cache, key), None, length=n_steps)
+    return toks.T, cache
+
+
+decode_scan_sampled = jax.jit(
+    decode_scan_sampled_fn, static_argnames=("cfg", "n_steps", "plan"),
+    donate_argnames=("cache",))
+
+
 def prefill_sp_fn(cfg: ModelConfig, w: Weights, tokens, cache: KVCache,
                   plan: ShardingPlan):
     """Sequence-parallel full-window prefill (runs under shard_map).

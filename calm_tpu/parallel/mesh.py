@@ -55,3 +55,72 @@ def make_mesh(tp: int = 1, ep: int = 1, dp: int = 1, devices=None) -> Mesh:
     assert n <= len(devices), f"need {n} devices, have {len(devices)}"
     arr = np.asarray(devices[:n]).reshape(dp, ep, tp)
     return Mesh(arr, ("dp", "ep", "tp"))
+
+
+def init_multihost(coordinator: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Join a multi-host run (each host sees only its local chips until the
+    distributed runtime connects them). No-op when already initialized or
+    when env auto-detection applies (GKE/Borg set everything up). The
+    reference has no multi-host story at all (SURVEY.md §2.3)."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError:
+        pass  # already initialized
+
+
+def make_multihost_mesh(tp: int = 1, ep: int = 1, dp_dcn: int = 1) -> Mesh:
+    """Hybrid mesh: tp/ep ride ICI inside each slice, dp crosses slices over
+    DCN. Collective-light axes (dp carries no per-layer collectives, see
+    calm_tpu/parallel/plan.py) are the only ones placed on DCN, following
+    the scaling-book recipe."""
+    from jax.experimental import mesh_utils
+    devs = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(1, ep, tp), dcn_mesh_shape=(dp_dcn, 1, 1),
+        devices=jax.devices())
+    return Mesh(devs, ("dp", "ep", "tp"))
+
+
+def health_check(mesh: Mesh | None = None, timeout_s: float = 60.0) -> dict:
+    """Fail-fast slice health probe at startup (SURVEY.md §5: the reference
+    aborts on first error; a multi-host engine must detect a sick slice
+    BEFORE loading 100 GB of weights).
+
+    Runs a psum across every device of the mesh and checks the arithmetic;
+    returns a small report dict, raises RuntimeError on mismatch/hang.
+    """
+    import time as _time
+
+    devices = (list(mesh.devices.flat) if mesh is not None
+               else jax.devices())
+    n = len(devices)
+    t0 = _time.perf_counter()
+    try:
+        probe = Mesh(np.asarray(devices).reshape(n), ("all",))
+        ones = jax.device_put(
+            np.ones((n, 8), np.float32),
+            jax.sharding.NamedSharding(probe, jax.sharding.PartitionSpec("all")))
+
+        def allsum(x):
+            return jax.lax.psum(x, "all")
+
+        fn = jax.jit(jax.shard_map(allsum, mesh=probe,
+                                   in_specs=jax.sharding.PartitionSpec("all"),
+                                   out_specs=jax.sharding.PartitionSpec("all")))
+        out = np.asarray(fn(ones))
+    except Exception as e:  # noqa: BLE001 — wrap with diagnostics
+        raise RuntimeError(
+            f"slice health check FAILED across {n} devices "
+            f"({[d.device_kind for d in devices[:4]]}...): {e}") from e
+    dt = _time.perf_counter() - t0
+    if dt > timeout_s:
+        raise RuntimeError(f"slice health check too slow: {dt:.1f}s")
+    if not np.allclose(out, float(n)):
+        raise RuntimeError(
+            f"slice health check WRONG RESULT: psum over {n} devices "
+            f"returned {out.ravel()[:4]}, expected {n}")
+    return {"devices": n, "kinds": sorted({d.device_kind for d in devices}),
+            "psum_seconds": dt}

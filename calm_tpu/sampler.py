@@ -52,6 +52,35 @@ def softmax_prob(idx: int, logits: np.ndarray) -> float:
     return float(e[idx]) / float(e.sum(dtype=np.float32))
 
 
+def device_sample(logits, key, temperature, minp):
+    """Batched min-p sampling ON DEVICE (jittable): logits (B, V) f32,
+    per-row temperature/minp (B,) -> tokens (B,) int32.
+
+    Same min-p semantics as the host sampler (cutoff in logit space at
+    max + log(minp)*T, reference src/sampler.c:44-78) with temperature==0
+    rows falling back to argmax. Uses the JAX PRNG (counter-based, splittable
+    across batch rows) instead of the reference's xorshift64* stream — the
+    host path remains bit-compatible with the reference; this path powers
+    the zero-host-round-trip decode scan and the batched server.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    temperature = jnp.asarray(temperature, jnp.float32).reshape(-1, 1)
+    minp = jnp.asarray(minp, jnp.float32).reshape(-1, 1)
+    logits = logits.astype(jnp.float32)
+
+    max_logit = jnp.max(logits, axis=-1, keepdims=True)
+    safe_t = jnp.where(temperature > 0, temperature, 1.0)
+    cutoff = max_logit + jnp.log(jnp.clip(minp, 1e-9, 1.0)) * safe_t
+    masked = jnp.where(logits >= cutoff, logits / safe_t, -jnp.inf)
+    drawn = jax.random.categorical(key, masked, axis=-1)
+
+    greedy = jnp.argmax(logits, axis=-1)
+    pick_greedy = (temperature[:, 0] == 0.0) | (minp[:, 0] >= 1.0)
+    return jnp.where(pick_greedy, greedy, drawn).astype(jnp.int32)
+
+
 class Sampler:
     def __init__(self, vocab_size: int, seed: int = 42,
                  temperature: float = 1.0, minp: float = 0.1):

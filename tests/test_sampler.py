@@ -81,3 +81,64 @@ def test_temperature_sharpens():
     for _ in range(2000):
         counts[lo.sample(logits.copy())] += 1
     assert counts[0] / counts.sum() > 0.8
+
+
+def test_device_sample_greedy_matches_argmax():
+    import jax
+    import jax.numpy as jnp
+    from calm_tpu.sampler import device_sample
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(0, 3, (4, 64)).astype(np.float32))
+    toks = device_sample(logits, jax.random.PRNGKey(0),
+                         jnp.zeros(4), jnp.full(4, 0.1))
+    np.testing.assert_array_equal(np.asarray(toks),
+                                  np.argmax(np.asarray(logits), -1))
+
+
+def test_device_sample_respects_cutoff():
+    import jax
+    import jax.numpy as jnp
+    from calm_tpu.sampler import device_sample
+
+    rng = np.random.default_rng(1)
+    logits = rng.normal(0, 3, (2, 128)).astype(np.float32)
+    temp, minp = 0.8, 0.3
+    cutoff = logits.max(-1, keepdims=True) + np.log(minp) * temp
+    ok = logits >= cutoff
+    for i in range(50):
+        toks = np.asarray(device_sample(jnp.asarray(logits),
+                                        jax.random.PRNGKey(i),
+                                        jnp.full(2, temp), jnp.full(2, minp)))
+        for b in range(2):
+            assert ok[b, toks[b]], (i, b)
+
+
+def test_decode_scan_sampled_greedy_parity():
+    import jax
+    import jax.numpy as jnp
+    from calm_tpu import model as M
+    from calm_tpu.config import ModelConfig
+    from calm_tpu.utils.synth import synth_weights
+
+    cfg = ModelConfig(dim=64, hidden_dim=128, head_dim=16, n_layers=2,
+                      n_heads=4, n_kv_heads=2, vocab_size=256, seq_len=32,
+                      rope_theta=10000.0, rotary_dim=16, norm_ln=False,
+                      dtype="fp16")
+    w = synth_weights(cfg)
+    tok = jnp.zeros((1,), jnp.int32)
+    pos = jnp.zeros((1,), jnp.int32)
+
+    want, _ = M.decode_scan(cfg, w, tok, pos,
+                            M.KVCache.create(cfg, 1, jnp.float16), 6)
+    got, _ = M.decode_scan_sampled(
+        cfg, w, tok, pos, M.KVCache.create(cfg, 1, jnp.float16), 6,
+        jax.random.PRNGKey(0), jnp.zeros(1), jnp.full(1, 0.1))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_health_check_cpu_mesh():
+    from calm_tpu.parallel.mesh import health_check
+    report = health_check()
+    assert report["devices"] >= 1
+    assert report["psum_seconds"] < 60
