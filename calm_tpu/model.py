@@ -464,20 +464,22 @@ LAYER_UNROLL = 1  # lax.scan unroll factor over layers. MEASURED on v5e:
                   # per-iteration weight-slice streaming). Keep at 1.
 
 
-def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,
-             cache: KVCache, rolling: bool, logits_mode: str,
-             plan: ShardingPlan = NO_SHARDING):
-    """Shared forward: tokens/pos/kv_pos (B, T), kv_len (B,)."""
+def _rope_tables(cfg: ModelConfig, pos, batch: int):
+    """Per-step rope tables shared by every layer (pos-only dependence)."""
+    cos, sin = rope_tables(pos, cfg.head_dim, cfg.rope_theta, cfg.rotary_dim)
+    cos1, sin1 = rope_tables(jnp.ones((batch, KV_SINKS), jnp.int32),
+                             cfg.head_dim, cfg.rope_theta, cfg.rotary_dim)
+    return (cos, sin, cos1, sin1)
+
+
+def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
+                cache: KVCache, rolling: bool, rope,
+                plan: ShardingPlan) -> tuple[jax.Array, KVCache]:
+    """The layer-stack scan on an embedded activation wave; the cache's
+    leading axis defines how many (local) layers run — under pipeline
+    parallelism each stage holds and runs only its layer shard."""
     kv_dtype = cache.k.dtype
     n_layers = cache.k.shape[0]
-    x = _embed(cfg, w.embed, tokens, plan)  # (B, T, D)
-
-    # rope tables depend only on pos: build once, reuse across all layers
-    B = tokens.shape[0]
-    cos, sin = rope_tables(pos, cfg.head_dim, cfg.rope_theta, cfg.rotary_dim)
-    cos1, sin1 = rope_tables(jnp.ones((B, KV_SINKS), jnp.int32),
-                             cfg.head_dim, cfg.rope_theta, cfg.rotary_dim)
-    rope = (cos, sin, cos1, sin1)
 
     def body(carry, layer):
         x, kc, vc = carry
@@ -485,24 +487,36 @@ def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,
                            kv_len, kv_dtype, rolling, rope, plan)
         return (x, kc, vc), None
 
-    unroll = min(LAYER_UNROLL, cfg.n_layers)
-    if cfg.n_layers % unroll:
+    unroll = min(LAYER_UNROLL, n_layers)
+    if n_layers % unroll:
         unroll = 1
     (x, k_new, v_new), _ = jax.lax.scan(
         body, (x, cache.k, cache.v),
         jnp.arange(n_layers, dtype=jnp.int32), unroll=unroll)
-    cache = KVCache(k_new, v_new)
+    return x, KVCache(k_new, v_new)
 
+
+def _head(cfg: ModelConfig, w: Weights, x, logits_mode: str):
     if logits_mode == "none":
-        return None, cache
-
+        return None
     if logits_mode == "last":
         x = x[:, -1:, :]
     x = _norm(cfg, x, w.final_norm)
     logits = qmatmul(x, w.output)  # (B, T or 1, V_local)
     if logits_mode == "last":
         logits = logits[:, 0, :]
-    return logits, cache
+    return logits
+
+
+def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,
+             cache: KVCache, rolling: bool, logits_mode: str,
+             plan: ShardingPlan = NO_SHARDING):
+    """Shared forward: tokens/pos/kv_pos (B, T), kv_len (B,)."""
+    x = _embed(cfg, w.embed, tokens, plan)  # (B, T, D)
+    rope = _rope_tables(cfg, pos, tokens.shape[0])
+    x, cache = _run_layers(cfg, w, x, pos, kv_pos, kv_len, cache,
+                           rolling, rope, plan)
+    return _head(cfg, w, x, logits_mode), cache
 
 
 def decode_indices(cfg: ModelConfig, pos):

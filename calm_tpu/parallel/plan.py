@@ -38,6 +38,8 @@ class ShardingPlan:
     ep: str | None = None   # expert-parallel mesh axis name
     dp: str | None = None   # data/batch-parallel mesh axis name
     sp: str | None = None   # sequence-parallel (prefill) mesh axis name
+    pp: str | None = None   # pipeline-parallel mesh axis name (layer stages;
+                            # see calm_tpu/parallel/pipeline.py)
 
     @property
     def axes(self) -> tuple[str, ...]:
@@ -54,6 +56,11 @@ class ShardingPlan:
                 assert (cfg.q_dim // tp_size) % 8 == 0
         if self.ep and ep_size > 1:
             assert cfg.n_experts and cfg.n_experts % ep_size == 0
+
+    def validate_pp(self, cfg, pp_size: int):
+        if self.pp and pp_size > 1:
+            assert cfg.n_layers % pp_size == 0, \
+                f"n_layers {cfg.n_layers} not divisible by pp={pp_size}"
 
 
 NO_SHARDING = ShardingPlan()

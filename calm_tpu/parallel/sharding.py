@@ -32,27 +32,29 @@ except AttributeError:  # pragma: no cover
 
 
 def weight_pspecs(cfg: ModelConfig, plan: ShardingPlan) -> Weights:
-    """A Weights-shaped pytree whose leaves are PartitionSpecs."""
-    tp, ep = plan.tp, plan.ep
+    """A Weights-shaped pytree whose leaves are PartitionSpecs. Every
+    LayerWeights leaf is layer-stacked on dim 0, which shards over pp
+    (pipeline stages); embed/final_norm/output stay replicated across pp."""
+    tp, ep, pp = plan.tp, plan.ep, plan.pp
     fmt = cfg.dtype
 
     def qt(spec):
         return QTensor(spec, fmt)
 
     if cfg.n_experts:
-        w13 = qt(P(None, ep, tp, None))
-        w2 = qt(P(None, ep, None, tp))
-        moegate = qt(P(None, None, None))  # replicated: routing is tiny
+        w13 = qt(P(pp, ep, tp, None))
+        w2 = qt(P(pp, ep, None, tp))
+        moegate = qt(P(pp, None, None))  # replicated: routing is tiny
     else:
-        w13 = qt(P(None, tp, None))
-        w2 = qt(P(None, None, tp))
+        w13 = qt(P(pp, tp, None))
+        w2 = qt(P(pp, None, tp))
         moegate = None
 
     layers = LayerWeights(
-        attn_norm=P(None, None), ffn_norm=P(None, None),
-        wq=qt(P(None, tp, None)), wk=qt(P(None, tp, None)),
-        wv=qt(P(None, tp, None)), wo=qt(P(None, None, tp)),
-        bq=P(None, tp), bk=P(None, tp), bv=P(None, tp),
+        attn_norm=P(pp, None), ffn_norm=P(pp, None),
+        wq=qt(P(pp, tp, None)), wk=qt(P(pp, tp, None)),
+        wv=qt(P(pp, tp, None)), wo=qt(P(pp, None, tp)),
+        bq=P(pp, tp), bk=P(pp, tp), bv=P(pp, tp),
         w1=w13, w2=w2, w3=w13, moegate=moegate)
 
     return Weights(embed=qt(P(tp, None)), layers=layers,
@@ -60,9 +62,9 @@ def weight_pspecs(cfg: ModelConfig, plan: ShardingPlan) -> Weights:
 
 
 def cache_pspecs(plan: ShardingPlan, sp: bool = False) -> KVCache:
-    # (L, B, KVH, S, hd): kv-heads shard over tp, sequence slots over dp,
-    # and (for sequence-parallel prefill) cache rows over sp
-    spec = P(None, plan.dp, plan.tp, plan.sp if sp else None, None)
+    # (L, B, KVH, S, hd): layers shard over pp, kv-heads over tp, sequence
+    # slots over dp, and (for sequence-parallel prefill) cache rows over sp
+    spec = P(plan.pp, plan.dp, plan.tp, plan.sp if sp else None, None)
     return KVCache(k=spec, v=spec)
 
 

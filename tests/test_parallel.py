@@ -154,3 +154,27 @@ def test_sp_prefill_parity(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got_cache.k, dtype=np.float32),
         np.asarray(want_cache.k, dtype=np.float32), rtol=1e-3, atol=1e-3)
+
+
+def test_pp2_decode_parity(tmp_path):
+    """Pipeline-parallel decode (2 stages) matches single-device decode."""
+    from calm_tpu.parallel.pipeline import (make_pp_mesh,
+                                            sharded_decode_step_pp)
+    from calm_tpu.parallel.sharding import _tree_shardings, cache_pspecs
+
+    cfg = tiny_config(dtype="fp16")  # n_layers must divide by pp
+    assert cfg.n_layers % 2 == 0
+    w = build(tmp_path, cfg)
+    want = reference_logits(cfg, w, TOKENS)
+
+    plan = ShardingPlan(tp="tp", pp="pp")
+    mesh = make_pp_mesh(pp=2, tp=2)
+    ws = shard_weights(w, cfg, mesh, plan)
+    cache = jax.device_put(M.KVCache.create(cfg, 1, jnp.float16),
+                           _tree_shardings(mesh, cache_pspecs(plan)))
+    step = sharded_decode_step_pp(cfg, mesh, plan)
+    out = []
+    for pos, tok in enumerate(TOKENS):
+        logits, cache = step(ws, jnp.array([tok]), jnp.array([pos]), cache)
+        out.append(np.asarray(logits[0]))
+    np.testing.assert_allclose(np.stack(out), want, rtol=1e-4, atol=1e-4)
