@@ -51,16 +51,16 @@ SHAPES = {
 
 
 def bench_decode(cfg: ModelConfig, kv_dtype, steps: int, pos0: int,
-                 repeats: int = 3):
+                 repeats: int = 3, batch: int = 1):
     w = synth_weights(cfg)
     jax.block_until_ready(w)
 
     times = []
     toks = None
     for r in range(repeats + 1):
-        cache = M.KVCache.create(cfg, 1, kv_dtype)
-        token = jnp.zeros((1,), jnp.int32)
-        start = jnp.full((1,), pos0, jnp.int32)
+        cache = M.KVCache.create(cfg, batch, kv_dtype)
+        token = jnp.zeros((batch,), jnp.int32)
+        start = jnp.full((batch,), pos0, jnp.int32)
         t0 = time.perf_counter()
         toks, cache = M.decode_scan(cfg, w, token, start, cache, steps)
         # force a tiny device->host copy: on the axon platform
@@ -81,6 +81,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--ctx", type=int, default=4096)
     ap.add_argument("--kv", default="bf16", choices=["bf16", "fp16", "fp8"])
+    ap.add_argument("--batch", type=int, default=1,
+                    help="decode slots (batched serving throughput; the "
+                         "weight stream amortizes across slots)")
     args = ap.parse_args(argv)
 
     from calm_tpu.ops import qmm
@@ -100,17 +103,19 @@ def main(argv=None):
     results = {}
     for name, pos0 in (("first32", min(2000, args.ctx // 2)),
                        ("last32", args.ctx - args.steps - 1)):
-        secs, _ = bench_decode(cfg, kv_dtype, args.steps, pos0)
-        read = sum(bw_bytes + kv_cache_bytes(cfg, kv_bits, pos0 + i)
+        secs, _ = bench_decode(cfg, kv_dtype, args.steps, pos0,
+                               batch=args.batch)
+        read = sum(bw_bytes + args.batch * kv_cache_bytes(cfg, kv_bits, pos0 + i)
                    for i in range(args.steps))
         results[name] = dict(
-            tok_s=args.steps / secs,
+            tok_s=args.batch * args.steps / secs,
             gb_s=read / 1e9 / secs,
             ms_tok=secs * 1000 / args.steps,
         )
-        print(f"# {name}: {results[name]['tok_s']:.1f} tok/s, "
+        print(f"# {name}: {results[name]['tok_s']:.1f} tok/s"
+              f"{f' (batch {args.batch})' if args.batch > 1 else ''}, "
               f"{results[name]['gb_s']:.1f} GB/s, "
-              f"{results[name]['ms_tok']:.2f} ms/tok", file=sys.stderr)
+              f"{results[name]['ms_tok']:.2f} ms/step", file=sys.stderr)
 
     gb_s = results["first32"]["gb_s"]
     pct_sol = 100.0 * gb_s / topo.hbm_gbps_per_chip
