@@ -68,10 +68,18 @@ class _Slot:
 
 
 class Server:
-    """Batched multi-request decode on one Engine."""
+    """Batched multi-request decode on one Engine.
+
+    device_sampling=True samples min-p ON DEVICE (calm_tpu.sampler.
+    device_sample): only (B,) token ids cross to the host per tick instead
+    of the full (B, V) logits. Per-request ``seed`` then selects the
+    server-level PRNG stream rather than a bit-exact per-request xorshift
+    stream — pass device_sampling=False for reference-compatible draws.
+    """
 
     def __init__(self, path: str, batch: int = 4, context: int = 0,
-                 kv_dtype: str | None = None):
+                 kv_dtype: str | None = None, device_sampling: bool = False,
+                 seed: int = 42):
         self.engine = Engine(path, context=context, kv_dtype=kv_dtype,
                              batch=batch)
         self.batch = batch
@@ -81,6 +89,12 @@ class Server:
         # parked decode state per slot (device arrays built each tick)
         self._tokens = np.zeros(batch, np.int32)
         self._pos = np.zeros(batch, np.int32)
+        self.device_sampling = device_sampling
+        self._temps = np.zeros(batch, np.float32)  # parked slots: greedy
+        self._minps = np.ones(batch, np.float32)
+        if device_sampling:
+            import jax
+            self._key = jax.random.PRNGKey(seed)
 
     # -- client api ---------------------------------------------------------
 
@@ -118,6 +132,8 @@ class Server:
             slot.req = req
             slot.sampler = Sampler(eng.cfg.vocab_size, req.seed,
                                    req.temperature, req.minp)
+            self._temps[b] = req.temperature
+            self._minps[b] = req.minp
             slot.out = bytearray()
             slot.token = toks[-1]
             slot.pos = len(toks) - 1
@@ -142,7 +158,17 @@ class Server:
         logits, eng.cache = M.decode_step(
             eng.cfg, eng.weights,
             jnp.asarray(self._tokens), jnp.asarray(self._pos), eng.cache)
-        logits = np.asarray(logits, np.float32)
+
+        if self.device_sampling:
+            import jax
+            from calm_tpu.sampler import device_sample
+            self._key, sub = jax.random.split(self._key)
+            sampled = np.asarray(device_sample(
+                logits, sub, jnp.asarray(self._temps),
+                jnp.asarray(self._minps)))
+            logits = None
+        else:
+            logits = np.asarray(logits, np.float32)
 
         tok = eng.tokenizer
         now = time.perf_counter()
@@ -150,7 +176,8 @@ class Server:
             if not slot.active:
                 continue
             req = slot.req
-            nxt = slot.sampler.sample(logits[b].copy())
+            nxt = (int(sampled[b]) if self.device_sampling
+                   else slot.sampler.sample(logits[b].copy()))
             if req.n_generated == 0:
                 req.first_token_at = now
             slot.pos += 1
@@ -171,4 +198,5 @@ class Server:
                 req.finished_at = now
                 slot.active = False
                 slot.req = None
-                # park the slot; its garbage decodes are masked on reuse
+                self._temps[b] = 0.0  # park the slot greedy; its garbage
+                self._minps[b] = 1.0  # decodes are masked on reuse

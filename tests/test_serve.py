@@ -93,3 +93,17 @@ def test_metrics_recorded(model_path):
     srv.run_until_drained()
     assert r.finished_at >= r.first_token_at >= r.submitted_at
     assert r.n_generated <= 4
+
+
+def test_device_sampling_greedy_parity(model_path):
+    """Greedy requests produce identical text with host and device sampling."""
+    host = Server(model_path, batch=2)
+    dev = Server(model_path, batch=2, device_sampling=True)
+    outs = []
+    for srv in (host, dev):
+        r1 = srv.submit("hello world", max_tokens=8, temperature=0.0)
+        r2 = srv.submit("the quick", max_tokens=8, temperature=0.0)
+        srv.run_until_drained(max_ticks=40)
+        assert r1.done and r2.done
+        outs.append((r1.text, r2.text))
+    assert outs[0] == outs[1]
