@@ -437,6 +437,15 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         v_all = jax.lax.all_gather(v.astype(kv_dtype), plan.sp, axis=1,
                                    tiled=True)
         att = _attention_fresh(cfg, q, k_all, v_all, pos)
+    elif T > 1 and not rolling and pallas_decode_enabled():
+        # flash prefill: blockwise online softmax against the carried cache
+        # (the jnp path materializes (KVH, M, T, S) f32 scores — 2 GB
+        # transient per layer at T=S=4096)
+        from calm_tpu.ops import pallas_attn
+        qg = q.reshape(B, T, KVH, H // KVH, hd).astype(jnp.float32)
+        att = pallas_attn.prefill_attention(qg, kc, vc, pos[:, 0], kv_len,
+                                            layer)
+        att = att.reshape(B, T, H * hd)
     else:
         att = _attention(cfg, q, kc, vc, layer, pos, kv_len)
     x = x + _psum(qmatmul(att, lw.wo, layer=layer),

@@ -151,3 +151,150 @@ def decode_attention(q, k_cache, v_cache, kv_len, layer=None):
         layer = jnp.int32(0)
     return _decode_attention(q, k_cache, v_cache, kv_len,
                              jnp.asarray(layer, jnp.int32), _INTERPRET)
+
+
+# ---------------------------------------------------------------------------
+# prefill flash attention over the same carried cache
+# ---------------------------------------------------------------------------
+
+
+def _prefill_kernel(sref, q_ref, k_ref, v_ref, o_ref,
+                    m_ref, l_ref, acc_ref, *, bq: int, bs: int, m_rep: int,
+                    scale: float, kv_fp8: bool):
+    """sref layout: [layer, pos0_0.., pos0_{B-1}, kv_len_0..]. Query rows
+    pack (t, m) pairs: row r of q-block qi is query position
+    pos0 + qi*bq_t + r // m_rep (bq = bq_t * m_rep rows)."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    s = pl.program_id(3)
+    n_s = pl.num_programs(3)
+    B = pl.num_programs(0)
+
+    pos0 = sref[b + 1]
+    kv_len = sref[B + b + 1]
+    bq_t = bq // m_rep
+    # causal upper bound for this q block: its last absolute position
+    q_hi = pos0 + qi * bq_t + bq_t - 1
+    block_live = (s * bs < kv_len) & (s * bs <= q_hi)
+
+    @pl.when(s == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(block_live)
+    def _():
+        q = q_ref[0, 0].astype(jnp.bfloat16)        # (bq, hd)
+        k = k_ref[0, 0, 0]                          # (bs, hd)
+        v = v_ref[0, 0, 0]
+        if kv_fp8:
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
+
+        scores = jax.lax.dot_general(                # (bq, bs)
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        col = s * bs + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        q_pos = pos0 + qi * bq_t + row // m_rep
+        ok = (col < kv_len) & (col <= q_pos)
+        scores = jnp.where(ok, scores, -jnp.inf)
+
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        # rows with no visible column yet keep m == -inf; exp(-inf - -inf)
+        # would be NaN — clamp the shift for those rows (their p is all 0)
+        shift = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        alpha = jnp.exp(jnp.where(jnp.isfinite(m_prev), m_prev - shift, -jnp.inf))
+        alpha = jnp.where(jnp.isfinite(m_prev), alpha, 0.0)
+        p = jnp.exp(scores - shift)
+
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(s == n_s - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:], 1e-37)
+        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _prefill_attention(q, k_cache, v_cache, pos0, kv_len, layer,
+                       interpret: bool):
+    """q (B, T, KVH, M, hd) f32; caches (L, B, KVH, S, hd); pos0/kv_len (B,).
+    Causal flash attention of T queries against cache rows [0, kv_len);
+    query t sits at absolute position pos0 + t. -> (B, T, KVH, M, hd)."""
+    B, T, KVH, M, hd = q.shape
+    S = k_cache.shape[3]
+    kv_fp8 = k_cache.dtype == jnp.float8_e5m2
+
+    # pack (t, m) into MXU rows, t-major so a q block covers bq_t positions
+    qr = q.transpose(0, 2, 1, 3, 4).reshape(B, KVH, T * M, hd)
+
+    bs = min(2048, S)
+    bq_t = max(1, min(256, T))
+    while T % bq_t:
+        bq_t //= 2
+    bq = bq_t * M
+    n_q = T // bq_t
+    n_s = pl.cdiv(S, bs)
+    scale = 1.0 / math.sqrt(hd)
+
+    def q_map(b, h, qi, s, sref):
+        return (b, h, qi, 0)
+
+    def kv_map(b, h, qi, s, sref):
+        Bn = pl.num_programs(0)
+        pos0 = sref[b + 1]
+        kv_len = sref[Bn + b + 1]
+        q_hi = pos0 + qi * bq_t + bq_t - 1
+        live = (s * bs < kv_len) & (s * bs <= q_hi)
+        return (sref[0], b, h, jnp.where(live, s, 0), 0)
+
+    def o_map(b, h, qi, s, sref):
+        return (b, h, qi, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, KVH, n_q, n_s),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, hd), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bs, hd), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, bs, hd), kv_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, hd), o_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, hd), jnp.float32),
+        ],
+    )
+
+    sref = jnp.concatenate([layer[None].astype(jnp.int32),
+                            pos0.astype(jnp.int32), kv_len.astype(jnp.int32)])
+    out = pl.pallas_call(
+        functools.partial(_prefill_kernel, bq=bq, bs=bs, m_rep=M,
+                          scale=scale, kv_fp8=kv_fp8),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, T * M, hd), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(sref, qr, k_cache, v_cache)
+    return out.reshape(B, KVH, T, M, hd).transpose(0, 2, 1, 3, 4)
+
+
+def prefill_attention(q, k_cache, v_cache, pos0, kv_len, layer):
+    """Flash prefill attention: q (B, T, KVH, M, hd) f32 against the carried
+    cache at ``layer``; query t at absolute position pos0[b] + t, cache rows
+    [0, kv_len[b]) visible causally. -> (B, T, KVH, M, hd)."""
+    return _prefill_attention(q, k_cache, v_cache,
+                              jnp.asarray(pos0, jnp.int32),
+                              jnp.asarray(kv_len, jnp.int32),
+                              jnp.asarray(layer, jnp.int32), _INTERPRET)

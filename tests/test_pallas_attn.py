@@ -83,3 +83,60 @@ def test_fp8_kv(rng):
                          np.asarray(v8, np.float32), kv_len)
     # fp8 kv: coarser values, same math
     np.testing.assert_allclose(got, want, rtol=6e-2, atol=6e-2)
+
+
+@pytest.mark.parametrize("pos0", [0, 5])
+def test_prefill_attention_parity(rng, pos0):
+    """Flash prefill kernel vs plain masked softmax attention."""
+    B, T, KVH, M, hd, S, L = 1, 8, 2, 2, 32, 32, 3
+    layer = 1
+    q = rng.standard_normal((B, T, KVH, M, hd)).astype(np.float32)
+    kc = rng.standard_normal((L, B, KVH, S, hd)).astype(np.float32)
+    vc = rng.standard_normal((L, B, KVH, S, hd)).astype(np.float32)
+    kv_len = np.array([pos0 + T], np.int32)
+
+    got = np.asarray(pallas_attn.prefill_attention(
+        jnp.asarray(q), jnp.asarray(kc, jnp.bfloat16),
+        jnp.asarray(vc, jnp.bfloat16), jnp.full((B,), pos0, jnp.int32),
+        jnp.asarray(kv_len), jnp.int32(layer)))
+
+    # reference: full masked softmax on the selected layer plane
+    k = np.asarray(jnp.asarray(kc[layer], jnp.bfloat16), np.float32)
+    v = np.asarray(jnp.asarray(vc[layer], jnp.bfloat16), np.float32)
+    want = np.zeros_like(q)
+    for b in range(B):
+        for h in range(KVH):
+            for m in range(M):
+                for t in range(T):
+                    qpos = pos0 + t
+                    scores = (k[b, h] @ q[b, t, h, m]) / np.sqrt(hd)
+                    mask = (np.arange(S) < kv_len[b]) & (np.arange(S) <= qpos)
+                    scores = np.where(mask, scores, -np.inf)
+                    p = np.exp(scores - scores.max())
+                    p /= p.sum()
+                    want[b, t, h, m] = p @ v[b, h]
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_prefill_attention_fp8_kv(rng):
+    B, T, KVH, M, hd, S, L = 1, 4, 2, 2, 32, 16, 2
+    q = rng.standard_normal((B, T, KVH, M, hd)).astype(np.float32)
+    kc = (rng.standard_normal((L, B, KVH, S, hd)) * 0.25).astype(np.float32)
+    vc = (rng.standard_normal((L, B, KVH, S, hd)) * 0.25).astype(np.float32)
+    kc8 = jnp.asarray(kc, jnp.float8_e5m2)
+    vc8 = jnp.asarray(vc, jnp.float8_e5m2)
+    got = np.asarray(pallas_attn.prefill_attention(
+        jnp.asarray(q), kc8, vc8, jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), T, jnp.int32), jnp.int32(0)))
+    # reference over the fp8-rounded cache
+    k = np.asarray(kc8[0], np.float32)
+    v = np.asarray(vc8[0], np.float32)
+    for t in range(T):
+        for h in range(KVH):
+            for m in range(M):
+                scores = (k[0, h] @ q[0, t, h, m]) / np.sqrt(hd)
+                mask = np.arange(S) <= t
+                scores = np.where(mask, scores, -np.inf)
+                p = np.exp(scores - scores.max()); p /= p.sum()
+                np.testing.assert_allclose(got[0, t, h, m], p @ v[0, h],
+                                           rtol=6e-2, atol=6e-2)
