@@ -21,7 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from calm_tpu.config import ModelConfig
 from calm_tpu.model import (KVCache, LayerWeights, Weights, decode_step_fn,
-                            prefill_fn, prefill_sp_fn)
+                            prefill_fn, prefill_slot_fn, prefill_sp_fn)
 from calm_tpu.ops.qmm import QTensor
 from calm_tpu.parallel.plan import ShardingPlan
 
@@ -101,6 +101,23 @@ def sharded_decode_step(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
                    out_specs=(P(plan.dp, plan.tp), cspecs),
                    check_vma=False)
     return jax.jit(fn, donate_argnums=(3,))
+
+
+def sharded_prefill_slot(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
+    """Build the jitted single-slot prefill for continuous batching on a
+    sharded model: (w, tokens (1, T), n_valid, slot, cache) ->
+    (last-token logits (V,), cache). The slot index addresses the global
+    batch; under dp each shard owns B/dp slots, so dp is not supported here
+    (admit into the local shard's server instead)."""
+    assert plan.dp is None, "slot admission is per-dp-shard"
+    wspecs = weight_pspecs(cfg, plan)
+    cspecs = cache_pspecs(plan)
+    rep = P()
+
+    fn = shard_map(partial(prefill_slot_fn, cfg, plan=plan), mesh=mesh,
+                   in_specs=(wspecs, rep, rep, rep, cspecs),
+                   out_specs=(P(plan.tp), cspecs), check_vma=False)
+    return jax.jit(fn, donate_argnums=(4,))
 
 
 def sharded_prefill_sp(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):

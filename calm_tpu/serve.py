@@ -79,10 +79,25 @@ class Server:
 
     def __init__(self, path: str, batch: int = 4, context: int = 0,
                  kv_dtype: str | None = None, device_sampling: bool = False,
-                 seed: int = 42):
+                 seed: int = 42, mesh=None, plan=None):
         self.engine = Engine(path, context=context, kv_dtype=kv_dtype,
                              batch=batch)
         self.batch = batch
+
+        # optional sharded execution: weights/cache placed on the mesh, the
+        # decode/prefill steps run under shard_map (continuous batching on a
+        # tp/ep-sharded model; scale hosts with jax.distributed + dp shards)
+        self._sharded = mesh is not None
+        if self._sharded:
+            from calm_tpu.parallel.sharding import (shard_cache,
+                                                    shard_weights,
+                                                    sharded_decode_step,
+                                                    sharded_prefill_slot)
+            eng = self.engine
+            eng.weights = shard_weights(eng.weights, eng.cfg, mesh, plan)
+            eng.cache = shard_cache(eng.cache, mesh, plan)
+            self._decode_fn = sharded_decode_step(eng.cfg, mesh, plan)
+            self._prefill_slot_fn = sharded_prefill_slot(eng.cfg, mesh, plan)
         self.slots = [_Slot() for _ in range(batch)]
         self.pending: deque[Request] = deque()
         self._next_rid = 0
@@ -144,9 +159,14 @@ class Server:
                 T = bucket_len(len(toks) - 1, eng.cfg.seq_len)
                 padded = np.zeros((1, T), np.int32)
                 padded[0, : len(toks) - 1] = toks[:-1]
-                _, eng.cache = M.prefill_slot(
-                    eng.cfg, eng.weights, jnp.asarray(padded),
-                    jnp.int32(len(toks) - 1), jnp.int32(b), eng.cache)
+                if self._sharded:
+                    _, eng.cache = self._prefill_slot_fn(
+                        eng.weights, jnp.asarray(padded),
+                        jnp.int32(len(toks) - 1), jnp.int32(b), eng.cache)
+                else:
+                    _, eng.cache = M.prefill_slot(
+                        eng.cfg, eng.weights, jnp.asarray(padded),
+                        jnp.int32(len(toks) - 1), jnp.int32(b), eng.cache)
 
     def tick(self):
         """One scheduler tick: admit new requests, one decode step for all."""
@@ -155,9 +175,14 @@ class Server:
             return
 
         eng = self.engine
-        logits, eng.cache = M.decode_step(
-            eng.cfg, eng.weights,
-            jnp.asarray(self._tokens), jnp.asarray(self._pos), eng.cache)
+        if self._sharded:
+            logits, eng.cache = self._decode_fn(
+                eng.weights, jnp.asarray(self._tokens),
+                jnp.asarray(self._pos), eng.cache)
+        else:
+            logits, eng.cache = M.decode_step(
+                eng.cfg, eng.weights,
+                jnp.asarray(self._tokens), jnp.asarray(self._pos), eng.cache)
 
         if self.device_sampling:
             import jax

@@ -107,3 +107,20 @@ def test_device_sampling_greedy_parity(model_path):
         assert r1.done and r2.done
         outs.append((r1.text, r2.text))
     assert outs[0] == outs[1]
+
+
+def test_sharded_server_parity(model_path):
+    """Continuous batching on a tp=2-sharded model matches the plain server."""
+    from calm_tpu.parallel import ShardingPlan, make_mesh
+
+    plain = Server(model_path, batch=2)
+    mesh = make_mesh(tp=2)
+    shrd = Server(model_path, batch=2, mesh=mesh, plan=ShardingPlan(tp="tp"))
+    outs = []
+    for srv in (plain, shrd):
+        r1 = srv.submit("hello world", max_tokens=8, temperature=0.0)
+        r2 = srv.submit("the quick brown", max_tokens=8, temperature=0.0)
+        srv.run_until_drained(max_ticks=40)
+        assert r1.done and r2.done
+        outs.append((r1.text, r2.text))
+    assert outs[0] == outs[1]
