@@ -6,8 +6,8 @@ compares achieved HBM bandwidth against the analytic per-stage bytes model
 (calm_tpu/profiler.py), and optionally writes a TensorBoard-loadable trace.
 
 Usage:
-  python tools/profile.py model.calm [-n 32] [--trace /tmp/trace]
-  python tools/profile.py --synthetic mistral7b --dtype fp8   # no model file
+  python tools/perf.py model.calm [-n 32] [--trace /tmp/trace]
+  python tools/perf.py --synthetic mistral7b --dtype fp8   # no model file
 """
 
 from __future__ import annotations
