@@ -115,3 +115,107 @@ def test_logits_match_hf(converted):
     np.testing.assert_allclose(got, hf_logits, rtol=5e-2, atol=5e-2)
     # tight check on argmax agreement (what decoding actually consumes)
     assert (got.argmax(-1) == hf_logits.argmax(-1)).all()
+
+
+# ---- additional architecture families: HF torch forward vs engine ----
+
+
+def _mini_tokenizer_json(d: Path, vocab_size: int):
+    vocab = {"<unk>": 0, "<s>": 1, "</s>": 2}
+    for b in range(256):
+        vocab[f"<0x{b:02X}>"] = 3 + b
+    for i in range(259, vocab_size):
+        vocab[f"<fill{i}>"] = i
+    tok = {"model": {"vocab": vocab, "merges": [], "byte_fallback": True},
+           "added_tokens": []}
+    with open(d / "tokenizer.json", "w") as f:
+        json.dump(tok, f)
+
+
+def _convert_and_compare(d: Path, model, hf_config: dict, dtype="fp16",
+                         rtol=5e-2, atol=5e-2):
+    import torch
+    from calm_tpu import container as C
+
+    tensors = {k: v.detach().float().numpy()
+               for k, v in model.state_dict().items()
+               if not k.endswith("rotary_emb.inv_freq")}
+    C.write_tensors(str(d / "model.safetensors"), tensors, {})
+    with open(d / "config.json", "w") as f:
+        json.dump(hf_config, f)
+    _mini_tokenizer_json(d, hf_config["vocab_size"])
+
+    out = str(d / "model.calm")
+    convert_mod.main([out, str(d), "--dtype", dtype])
+
+    tokens = [1, 10, 25, 199, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].numpy()
+
+    import jax.numpy as jnp
+    from calm_tpu import model as M
+    from calm_tpu.engine import Engine
+    eng = Engine(out, context=32, kv_dtype="fp16")
+    logits, _ = M.prefill(eng.cfg, eng.weights,
+                          jnp.asarray([tokens], jnp.int32),
+                          jnp.zeros((1,), jnp.int32), eng.cache,
+                          logits_mode="all")
+    got = np.asarray(logits[0], np.float32)
+    np.testing.assert_allclose(got, hf_logits, rtol=rtol, atol=atol)
+    assert (got.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95
+
+
+def test_convert_qwen2(tmp_path):
+    """Qwen2: QKV bias riding the fused wqkv.bias tensor + permute."""
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    hf = {"architectures": ["Qwen2ForCausalLM"], "hidden_size": 48,
+          "intermediate_size": 64, "num_hidden_layers": 2,
+          "num_attention_heads": 4, "num_key_value_heads": 2,
+          "vocab_size": 268, "max_position_embeddings": 128,
+          "bos_token_id": 1, "eos_token_id": 2, "rope_theta": 10000.0,
+          "rms_norm_eps": 1e-5, "hidden_act": "silu",
+          "tie_word_embeddings": False}
+    cfg = Qwen2Config(**{k: v for k, v in hf.items() if k != "architectures"})
+    torch.manual_seed(3)
+    model = Qwen2ForCausalLM(cfg).eval()
+    assert model.model.layers[0].self_attn.q_proj.bias is not None
+    _convert_and_compare(tmp_path, model, hf)
+
+
+def test_convert_mixtral_moe(tmp_path):
+    """Mixtral: expert stacking + gate; top-2 routing parity."""
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    hf = {"architectures": ["MixtralForCausalLM"], "hidden_size": 48,
+          "intermediate_size": 64, "num_hidden_layers": 2,
+          "num_attention_heads": 4, "num_key_value_heads": 2,
+          "vocab_size": 268, "max_position_embeddings": 128,
+          "bos_token_id": 1, "eos_token_id": 2, "rope_theta": 10000.0,
+          "rms_norm_eps": 1e-5, "hidden_act": "silu",
+          "num_local_experts": 4, "num_experts_per_tok": 2,
+          "tie_word_embeddings": False}
+    cfg = MixtralConfig(**{k: v for k, v in hf.items() if k != "architectures"})
+    torch.manual_seed(5)
+    model = MixtralForCausalLM(cfg).eval()
+    _convert_and_compare(tmp_path, model, hf)
+
+
+def test_convert_gemma(tmp_path):
+    """Gemma: +1 norm offset and sqrt(dim) embed scale folded at convert."""
+    import torch
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    hf = {"architectures": ["GemmaForCausalLM"], "hidden_size": 48,
+          "intermediate_size": 64, "num_hidden_layers": 2,
+          "num_attention_heads": 4, "num_key_value_heads": 2,
+          "head_dim": 12, "vocab_size": 268, "max_position_embeddings": 128,
+          "bos_token_id": 1, "eos_token_id": 2, "rope_theta": 10000.0,
+          "rms_norm_eps": 1e-5, "hidden_act": "gelu",
+          "tie_word_embeddings": True}
+    cfg = GemmaConfig(**{k: v for k, v in hf.items() if k != "architectures"})
+    torch.manual_seed(9)
+    model = GemmaForCausalLM(cfg).eval()
+    _convert_and_compare(tmp_path, model, hf, rtol=8e-2, atol=8e-2)
