@@ -62,7 +62,7 @@ def bench_decode(cfg: ModelConfig, kv_dtype, steps: int, pos0: int,
         token = jnp.zeros((batch,), jnp.int32)
         start = jnp.full((batch,), pos0, jnp.int32)
         t0 = time.perf_counter()
-        toks, cache = M.decode_scan(cfg, w, token, start, cache, steps)
+        toks, cache, _ = M.decode_scan(cfg, w, token, start, cache, steps)
         # force a tiny device->host copy: on the axon platform
         # block_until_ready returns before execution finishes
         import numpy as np

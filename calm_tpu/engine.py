@@ -175,7 +175,36 @@ class Engine:
         token = prompt_tokens[-1]
         logits_last = None
         n_generated = 0
-        while pos < steps or steps < 0:
+        stops = (tok.bos_id, tok.eos_id, tok.eot_id)
+        greedy = temperature == 0.0 or minp >= 1.0
+
+        if greedy:
+            # greedy fast path: decode CHUNK tokens per compiled program
+            # (zero host round-trips inside; stop tokens checked per chunk —
+            # cache rows past a stop hold garbage but stay masked until
+            # overwritten at those positions)
+            CHUNK = 16
+            stopped = False
+            while not stopped and (pos < steps or steps < 0):
+                n = CHUNK if steps < 0 else max(1, min(CHUNK, steps - pos))
+                toks_d, self.cache, logits_d = M.decode_scan(
+                    self.cfg, self.weights, jnp.array([token], jnp.int32),
+                    jnp.array([pos + pos_offset], jnp.int32), self.cache, n)
+                chunk_toks = np.asarray(toks_d[0])
+                logits_last = np.asarray(logits_d[0], np.float32)
+                for nxt in chunk_toks:
+                    read_bytes += self.n_bandwidth
+                    read_bytes += kv_cache_bytes(self.cfg, self.kv_bits,
+                                                 pos + pos_offset)
+                    pos += 1
+                    n_generated += 1
+                    if int(nxt) in stops:
+                        stopped = True
+                        break
+                    emit(tok.decode_piece(token, int(nxt)))
+                    token = int(nxt)
+
+        while not greedy and (pos < steps or steps < 0):
             logits = self.step(token, pos + pos_offset)
             read_bytes += self.n_bandwidth
             read_bytes += kv_cache_bytes(self.cfg, self.kv_bits, pos + pos_offset)
@@ -183,7 +212,7 @@ class Engine:
             nxt = sampler.sample(logits)
             pos += 1
             n_generated += 1
-            if nxt in (tok.bos_id, tok.eos_id, tok.eot_id):
+            if nxt in stops:
                 break
             emit(tok.decode_piece(token, nxt))
             token = nxt

@@ -622,17 +622,20 @@ def decode_scan_fn(cfg: ModelConfig, w: Weights, token, pos0, cache: KVCache,
 
     One compiled program produces N tokens — the TPU counterpart of the
     reference's one-cooperative-launch-per-token design taken further: zero
-    host round-trips inside the loop. Returns (tokens (B, N), cache).
+    host round-trips inside the loop. Returns (tokens (B, N), cache,
+    last-step logits (B, V) for the determinism fingerprint).
     """
     def body(carry, _):
-        tok, pos, cache = carry
+        tok, pos, cache, _ = carry
         logits, cache = decode_step_fn(cfg, w, tok, pos, cache, plan)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (nxt, pos + 1, cache), nxt
+        return (nxt, pos + 1, cache, logits), nxt
 
-    (_, _, cache), toks = jax.lax.scan(
-        body, (token, pos0, cache), None, length=n_steps)
-    return toks.T, cache
+    V = w.output.shape[0]
+    logits0 = jnp.zeros((token.shape[0], V), jnp.float32)
+    (_, _, cache, logits), toks = jax.lax.scan(
+        body, (token, pos0, cache, logits0), None, length=n_steps)
+    return toks.T, cache, logits
 
 
 def prefill_slot_fn(cfg: ModelConfig, w: Weights, tokens, n_valid, slot,

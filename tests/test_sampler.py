@@ -129,7 +129,7 @@ def test_decode_scan_sampled_greedy_parity():
     tok = jnp.zeros((1,), jnp.int32)
     pos = jnp.zeros((1,), jnp.int32)
 
-    want, _ = M.decode_scan(cfg, w, tok, pos,
+    want, _, _ = M.decode_scan(cfg, w, tok, pos,
                             M.KVCache.create(cfg, 1, jnp.float16), 6)
     got, _ = M.decode_scan_sampled(
         cfg, w, tok, pos, M.KVCache.create(cfg, 1, jnp.float16), 6,

@@ -69,7 +69,7 @@ def main(argv=None):
         tok = jnp.zeros((1,), jnp.int32)
         pos = jnp.full((1,), args.pos, jnp.int32)
         t0 = time.perf_counter()
-        toks, _ = M.decode_scan(cfg, w, tok, pos, cache, args.steps)
+        toks, _, _ = M.decode_scan(cfg, w, tok, pos, cache, args.steps)
         np.asarray(toks)
         return time.perf_counter() - t0
 
