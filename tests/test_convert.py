@@ -219,3 +219,37 @@ def test_convert_gemma(tmp_path):
     torch.manual_seed(9)
     model = GemmaForCausalLM(cfg).eval()
     _convert_and_compare(tmp_path, model, hf, rtol=8e-2, atol=8e-2)
+
+
+def test_pad_vocab(tmp_path):
+    """--pad-vocab rounds vocab to 128 multiple; logits for real tokens and
+    tokenizer behavior are unchanged; padded pieces never match."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    d = tmp_path
+    model = make_hf_checkpoint(d)
+    out = str(d / "padded.calm")
+    convert_mod.main([out, str(d), "--dtype", "fp16", "--pad-vocab"])
+
+    tf = container.TensorFile(out)
+    cfg = ModelConfig.from_metadata(tf.metadata)
+    assert cfg.vocab_size == 384  # 268 -> next multiple of 128
+
+    tok = Tokenizer.from_container(tf)
+    assert tok.vocab_size == 384
+    assert tok.encode("hi", bos=False)  # still tokenizes
+
+    from calm_tpu.engine import Engine
+    import jax.numpy as jnp
+    from calm_tpu import model as M
+    tokens = [1, 10, 25, 199, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].numpy()
+    eng = Engine(out, context=32, kv_dtype="fp16")
+    logits, _ = M.prefill(eng.cfg, eng.weights,
+                          jnp.asarray([tokens], jnp.int32),
+                          jnp.zeros((1,), jnp.int32), eng.cache,
+                          logits_mode="all")
+    got = np.asarray(logits[0], np.float32)
+    np.testing.assert_allclose(got[:, :268], hf_logits, rtol=5e-2, atol=5e-2)

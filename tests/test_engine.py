@@ -119,3 +119,26 @@ def test_cli_perplexity(tmp_path, capsys):
     cli.main([path, "-x", str(txt), "-n", "8"])
     cap = capsys.readouterr()
     assert "perplexity:" in cap.out
+
+
+def test_chat_templates_all_families():
+    """Every vocab-sniffed family renders its own template (reference:
+    src/run.c:318-347)."""
+    from calm_tpu.engine import _TEMPLATES, _LLAMA2, chat_template
+
+    class FakeTok:
+        def __init__(self, marker):
+            self.marker = marker
+
+        def find(self, piece):
+            p = piece if isinstance(piece, bytes) else piece.encode()
+            return 7 if p == self.marker else -1
+
+    for marker, with_sys, without in _TEMPLATES:
+        tok = FakeTok(marker.encode())
+        assert chat_template(tok, True) == with_sys, marker
+        assert chat_template(tok, False) == without, marker
+
+    tok = FakeTok(b"<<nomatch>>")
+    assert chat_template(tok, True) == _LLAMA2[0]
+    assert chat_template(tok, False) == _LLAMA2[1]

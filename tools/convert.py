@@ -444,7 +444,8 @@ def convert_weights(cv: Converter, arch: str, config: dict, md: dict,
 
 
 def convert(output: str, config: dict, tokenizer_path: str,
-            model_files: list[str], dtype: str = "fp8") -> None:
+            model_files: list[str], dtype: str = "fp8",
+            pad_vocab: bool = False) -> None:
     arch = config["architectures"][0]
     if arch not in ARCH_REMAP:
         raise SystemExit(f"unsupported architecture {arch}; known: {list(ARCH_REMAP)}")
@@ -453,6 +454,32 @@ def convert(output: str, config: dict, tokenizer_path: str,
     md = extract_metadata(arch, config, dtype)
     pieces, scores = load_tokenizer(tokenizer_path, md["vocab_size"], config)
     weights = load_hf_weights(model_files)
+
+    if pad_vocab and md["vocab_size"] % 128:
+        # round the vocab to a lane-aligned multiple of 128 so the lm_head
+        # and embedding shard cleanly over a mesh: zero embedding rows,
+        # empty never-matching tokenizer pieces with -inf-ish scores
+        v_old = md["vocab_size"]
+        v_new = (v_old + 127) // 128 * 128
+        md["vocab_size"] = v_new
+        pieces = pieces + [b""] * (v_new - v_old)
+        scores = np.concatenate([scores,
+                                 np.full(v_new - v_old, -1e9, np.float32)])
+        pad = v_new - v_old
+
+        def pad_rows(name):
+            if name in weights:
+                w = to_f32(weights[name])
+                weights[name] = np.concatenate(
+                    [w, np.zeros((pad, w.shape[1]), np.float32)])
+        pad_rows("model.embed_tokens.weight")
+        pad_rows("model.tok_embeddings.weight")
+        pad_rows("model.transformer.wte.weight")
+        pad_rows("transformer.wte.weight")
+        pad_rows("lm_head.weight")
+        pad_rows("output.weight")
+        pad_rows("model.transformer.ff_out.weight")
+        print(f"padded vocab {v_old} -> {v_new}")
 
     cv = Converter(dtype)
     tensors = convert_weights(cv, arch, config, md, weights)
@@ -474,6 +501,9 @@ def main(argv=None):
     ap.add_argument("--tokenizer")
     ap.add_argument("--models", nargs="+")
     ap.add_argument("--dtype", default="fp8", choices=["fp16", "fp8", "gf4"])
+    ap.add_argument("--pad-vocab", action="store_true",
+                    help="round vocab up to a multiple of 128 so embed/"
+                         "lm_head shard cleanly over a TPU mesh")
     args = ap.parse_args(argv)
 
     if args.input is not None:
@@ -497,7 +527,8 @@ def main(argv=None):
 
     with open(args.config) as f:
         config = json.load(f)
-    convert(args.output, config, args.tokenizer, args.models, args.dtype)
+    convert(args.output, config, args.tokenizer, args.models, args.dtype,
+            pad_vocab=args.pad_vocab)
 
 
 if __name__ == "__main__":
