@@ -44,6 +44,11 @@ def main(argv=None):
                     help="chat mode with this system prompt")
     ap.add_argument("--kv", dest="kv", type=str, default=None,
                     choices=["bf16", "fp16", "fp8"], help="KV cache dtype")
+    ap.add_argument("--draft", type=str, default=None,
+                    help="draft model (.calm) for greedy speculative "
+                         "decoding (output identical to -t 0, just faster)")
+    ap.add_argument("--gamma", type=int, default=4,
+                    help="speculation depth (tokens drafted per round)")
     args = ap.parse_args(argv)
 
     seed = args.seed if args.seed > 0 else int(time.time())
@@ -84,6 +89,22 @@ def main(argv=None):
     elif args.system is not None:
         chat_loop(engine, args.system, prompt,
                   temperature=args.temperature, minp=args.minp, seed=seed)
+    elif args.draft:
+        from calm_tpu.speculative import speculative_generate
+        draft = Engine(args.draft, context=args.context, kv_dtype=args.kv)
+        print(draft.banner())
+        for _ in range(args.sequences):
+            engine.reset()
+            draft.reset()
+            stats = speculative_generate(
+                engine, draft, prompt or "", steps, gamma=args.gamma,
+                pos_offset=pos_offset, echo=True,
+                on_piece=lambda s: print(s, end="", flush=True))
+            print()
+            print(stats.perf_line(), file=sys.stderr)
+            print(f"# speculative: acceptance {stats.acceptance:.2f} over "
+                  f"{stats.rounds} rounds (gamma {args.gamma})",
+                  file=sys.stderr)
     else:
         for _ in range(args.sequences):
             engine.reset()
