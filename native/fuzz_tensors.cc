@@ -17,7 +17,31 @@
 #include <string>
 #include <vector>
 
+static void fuzz_tokenizer(const uint8_t* data, size_t size) {
+  // split the input: first half = pieces blob, second half = text to encode
+  if (size < 8) return;
+  size_t half = size / 2;
+  std::vector<uint8_t> blob(data, data + half);
+  if (blob.empty() || blob.back() != 0) blob.push_back(0);
+  // count pieces and try both the true count and off-by-one counts
+  int n = 0;
+  for (uint8_t b : blob)
+    if (b == 0) n++;
+  std::vector<float> scores((size_t)n + 2, 0.5f);
+  for (int vocab : {n, n - 1, n + 1}) {
+    if (vocab <= 0) continue;
+    cn_tokenizer* tk = cn_tokenizer_create(blob.data(), blob.size(),
+                                           scores.data(), vocab, 1);
+    if (!tk) continue;
+    std::vector<int> out(size - half + 3);
+    cn_tokenizer_encode(tk, data + half, size - half, 1, out.data(),
+                        out.size());
+    cn_tokenizer_free(tk);
+  }
+}
+
 extern "C" int LLVMFuzzerTestOneInput(const uint8_t* data, size_t size) {
+  fuzz_tokenizer(data, size);
   cn_tensors* t = cn_tensors_parse(data, size);
   if (t) {
     // exercise the accessor surface on accepted inputs
