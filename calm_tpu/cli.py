@@ -98,6 +98,7 @@ def main(argv=None):
             draft.reset()
             stats = speculative_generate(
                 engine, draft, prompt or "", steps, gamma=args.gamma,
+                temperature=args.temperature, minp=args.minp, seed=seed,
                 pos_offset=pos_offset, echo=True,
                 on_piece=lambda s: print(s, end="", flush=True))
             print()

@@ -106,9 +106,14 @@ class Engine:
 
     # -- low-level steps ------------------------------------------------------
 
+    # prefill activations are (T, D) f32 + (T, V) logits: cap chunks so a
+    # 128k-context ingest doesn't blow HBM on activations (the flash-prefill
+    # kernel itself is blockwise and memory-flat in T)
+    PREFILL_CHUNK = 8192
+
     def prefill_tokens(self, tokens: list[int], pos0: int = 0) -> np.ndarray:
         """Feed prompt tokens; returns logits after the last one. Splits into
-        window-sized chunks; tokens beyond the window fall back to stepping."""
+        bounded chunks; tokens beyond the window fall back to stepping."""
         cfg = self.cfg
         logits = None
         i = 0
@@ -118,7 +123,8 @@ class Engine:
                 logits = self.step(tokens[i], pos0 + i)
                 i += 1
                 continue
-            chunk = tokens[i : i + (cfg.seq_len - (pos0 + i))]
+            n = min(self.PREFILL_CHUNK, cfg.seq_len - (pos0 + i))
+            chunk = tokens[i : i + n]
             out, self.cache = M.prefill(
                 cfg, self.weights, jnp.asarray([chunk], jnp.int32),
                 jnp.array([pos0 + i], jnp.int32), self.cache, logits_mode="last")

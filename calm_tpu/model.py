@@ -579,11 +579,11 @@ def decode_scan_sampled_fn(cfg: ModelConfig, w: Weights, token, pos0,
         logits, cache = decode_step_fn(cfg, w, tok, pos, cache, plan)
         key, sub = jax.random.split(key)
         nxt = device_sample(logits, sub, temperature, minp)
-        return (nxt, pos + 1, cache, key), nxt
+        return (nxt, pos + 1, cache, key), (nxt, logits)
 
-    (_, _, cache, _), toks = jax.lax.scan(
+    (_, _, cache, _), (toks, logits) = jax.lax.scan(
         body, (token, pos0, cache, key), None, length=n_steps)
-    return toks.T, cache
+    return toks.T, cache, logits  # logits: (N, B, V) per-step distributions
 
 
 decode_scan_sampled = jax.jit(

@@ -24,19 +24,43 @@ from __future__ import annotations
 
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from calm_tpu import model as M
 from calm_tpu.engine import Engine, GenStats, kv_cache_bytes
+from calm_tpu.sampler import XorshiftRng
+
+
+def _minp_probs(logits: np.ndarray, temperature: float, minp: float) -> np.ndarray:
+    """The engine's sampling distribution as an explicit prob vector:
+    min-p cutoff in logit space, temperature softmax over survivors
+    (matches Sampler._sample_minp, reference src/sampler.c:44-78)."""
+    m = float(logits.max())
+    cutoff = m + np.log(minp) * temperature
+    p = np.where(logits >= cutoff,
+                 np.exp((logits - m) / temperature, dtype=np.float32), 0.0)
+    return p / p.sum(dtype=np.float32)
 
 
 def speculative_generate(target: Engine, draft: Engine, prompt: str = "",
                          steps: int = 256, *, gamma: int = 4,
-                         pos_offset: int = 0, echo: bool = False,
-                         on_piece=None) -> GenStats:
-    """Greedy decode of the target, accelerated by the draft. Mirrors
+                         temperature: float = 0.0, minp: float = 0.1,
+                         seed: int = 42, pos_offset: int = 0,
+                         echo: bool = False, on_piece=None) -> GenStats:
+    """Decode the target, accelerated by the draft. temperature == 0 uses the
+    greedy longest-matching-prefix rule (output bit-identical to plain
+    greedy); temperature > 0 uses speculative REJECTION sampling: draft
+    token x_i is accepted with probability min(1, p_t(x_i)/q_d(x_i)) and a
+    rejection resamples from max(p_t - q_d, 0) — the emitted sequence is
+    distributed exactly as sampling the target alone. Mirrors
     Engine.generate's loop contract (stop tokens, perf accounting, hash)."""
+    if temperature > 0.0:
+        return _speculative_sampled(target, draft, prompt, steps, gamma=gamma,
+                                    temperature=temperature, minp=minp,
+                                    seed=seed, pos_offset=pos_offset,
+                                    echo=echo, on_piece=on_piece)
     tok = target.tokenizer
     prompt_tokens = tok.encode(prompt, bos=True)
     if not prompt_tokens:
@@ -73,6 +97,7 @@ def speculative_generate(target: Engine, draft: Engine, prompt: str = "",
     n_accepted = 0
     n_emitted = 0
     stopped = False
+    all_ids: list[int] = []
 
     # speculation must stay inside the un-rolled window of both models
     horizon = min(target.cfg.seq_len, draft.cfg.seq_len)
@@ -87,6 +112,7 @@ def speculative_generate(target: Engine, draft: Engine, prompt: str = "",
             logits_last = logits
             nxt = int(np.argmax(logits))
             pos += 1
+            all_ids.append(nxt)
             if nxt in stops:
                 break
             emit(tok.decode_piece(token, nxt))
@@ -128,6 +154,7 @@ def speculative_generate(target: Engine, draft: Engine, prompt: str = "",
         for nxt in emitted:
             pos += 1
             n_emitted += 1
+            all_ids.append(nxt)
             if nxt in stops:
                 stopped = True
                 break
@@ -145,4 +172,144 @@ def speculative_generate(target: Engine, draft: Engine, prompt: str = "",
                      logits_hash=h, text=out.decode("utf-8", errors="replace"))
     stats.acceptance = (n_accepted / max(n_emitted, 1))
     stats.rounds = n_rounds
+    stats.ids = all_ids
+    return stats
+
+
+def _speculative_sampled(target: Engine, draft: Engine, prompt: str,
+                         steps: int, *, gamma: int, temperature: float,
+                         minp: float, seed: int, pos_offset: int,
+                         echo: bool, on_piece) -> GenStats:
+    tok = target.tokenizer
+    prompt_tokens = tok.encode(prompt, bos=True)
+    if not prompt_tokens:
+        prompt_tokens = [tok.bos_id if tok.bos_id >= 0 else 0]
+    stops = (tok.bos_id, tok.eos_id, tok.eot_id)
+    rng = XorshiftRng(seed)
+    key = jax.random.PRNGKey(seed)
+    temps = jnp.full((1,), temperature, jnp.float32)
+    minps = jnp.full((1,), minp, jnp.float32)
+
+    out = bytearray()
+
+    def emit(piece: bytes):
+        out.extend(piece)
+        if on_piece:
+            on_piece(piece.decode("utf-8", errors="replace"))
+
+    if echo and prompt_tokens[0] != tok.bos_id:
+        emit(tok.decode_piece(tok.bos_id, prompt_tokens[0]))
+
+    read_bytes = 0
+    start = time.perf_counter()
+
+    n_prompt = len(prompt_tokens)
+    pos = 0
+    if n_prompt > 1:
+        target.prefill_tokens(prompt_tokens[:-1], pos_offset)
+        draft.prefill_tokens(prompt_tokens[:-1], pos_offset)
+        read_bytes += (n_prompt - 1) * (target.n_bandwidth + draft.n_bandwidth)
+        if echo:
+            for p in range(n_prompt - 1):
+                emit(tok.decode_piece(prompt_tokens[p], prompt_tokens[p + 1]))
+        pos = n_prompt - 1
+
+    token = prompt_tokens[-1]
+    logits_last = None
+    n_rounds = 0
+    n_accepted = 0
+    n_emitted = 0
+    stopped = False
+    all_ids: list[int] = []
+    horizon = min(target.cfg.seq_len, draft.cfg.seq_len)
+
+    while not stopped and (pos < steps or steps < 0):
+        budget = gamma if steps < 0 else max(1, min(gamma, steps - pos))
+        if pos + pos_offset + budget + 2 >= horizon:
+            # window edge: plain target sampling step
+            logits = target.step(token, pos + pos_offset)
+            draft.step(token, pos + pos_offset)
+            read_bytes += target.n_bandwidth + draft.n_bandwidth
+            logits_last = logits
+            probs = _minp_probs(logits, temperature, minp)
+            r = rng.next_f32()
+            nxt = int(np.searchsorted(np.cumsum(probs), r * probs.sum()))
+            nxt = min(nxt, len(probs) - 1)
+            pos += 1
+            all_ids.append(nxt)
+            if nxt in stops:
+                break
+            emit(tok.decode_piece(token, nxt))
+            token = nxt
+            continue
+
+        # 1) draft SAMPLES `budget` tokens from its own distribution; its
+        #    per-step logits come back for the q_d(x) terms
+        key, sub = jax.random.split(key)
+        d_toks, draft.cache, d_logits = M.decode_scan_sampled(
+            draft.cfg, draft.weights, jnp.array([token], jnp.int32),
+            jnp.array([pos + pos_offset], jnp.int32), draft.cache, budget,
+            sub, temps, minps)
+        proposal = [int(t) for t in np.asarray(d_toks[0])]
+        d_logits = np.asarray(d_logits[:, 0], np.float32)  # (budget, V)
+        read_bytes += budget * draft.n_bandwidth
+
+        # 2) target scores [token] + proposal in one forward: logits[i] is
+        #    p_t after position pos+i (i = 0..budget)
+        verify = [token] + proposal
+        t_logits, target.cache = M.prefill(
+            target.cfg, target.weights, jnp.asarray([verify], jnp.int32),
+            jnp.array([pos + pos_offset], jnp.int32), target.cache,
+            logits_mode="all")
+        t_logits = np.asarray(t_logits[0], np.float32)  # (budget+1, V)
+        read_bytes += target.n_bandwidth + kv_cache_bytes(
+            target.cfg, target.kv_bits, pos + pos_offset + budget)
+
+        # 3) rejection-sample the longest accepted prefix
+        n_rounds += 1
+        emitted = []
+        for i in range(budget):
+            p = _minp_probs(t_logits[i], temperature, minp)
+            q = _minp_probs(d_logits[i], temperature, minp)
+            x = proposal[i]
+            logits_last = t_logits[i]
+            if q[x] > 0 and rng.next_f32() < min(1.0, float(p[x] / q[x])):
+                emitted.append(x)
+                n_accepted += 1
+                continue
+            # rejected: resample from the residual max(p - q, 0)
+            resid = np.maximum(p - q, 0.0)
+            s = resid.sum(dtype=np.float32)
+            if s <= 0:
+                resid, s = p, p.sum(dtype=np.float32)
+            r = rng.next_f32() * s
+            emitted.append(int(min(np.searchsorted(np.cumsum(resid), r),
+                                   len(resid) - 1)))
+            break
+        else:
+            # every draft token accepted: one bonus token from the target's
+            # post-proposal distribution
+            p = _minp_probs(t_logits[budget], temperature, minp)
+            logits_last = t_logits[budget]
+            r = rng.next_f32()
+            emitted.append(int(min(np.searchsorted(np.cumsum(p), r * p.sum()),
+                                   len(p) - 1)))
+
+        for nxt in emitted:
+            pos += 1
+            n_emitted += 1
+            all_ids.append(nxt)
+            if nxt in stops:
+                stopped = True
+                break
+            emit(tok.decode_piece(token, nxt))
+            token = nxt
+
+    seconds = time.perf_counter() - start
+    h = M.logits_hash(logits_last) if logits_last is not None else 0
+    stats = GenStats(tokens=pos, seconds=seconds, read_bytes=read_bytes,
+                     logits_hash=h, text=out.decode("utf-8", errors="replace"))
+    stats.acceptance = (n_accepted / max(n_emitted, 1))
+    stats.rounds = n_rounds
+    stats.ids = all_ids
     return stats

@@ -131,7 +131,7 @@ def test_decode_scan_sampled_greedy_parity():
 
     want, _, _ = M.decode_scan(cfg, w, tok, pos,
                             M.KVCache.create(cfg, 1, jnp.float16), 6)
-    got, _ = M.decode_scan_sampled(
+    got, _, _ = M.decode_scan_sampled(
         cfg, w, tok, pos, M.KVCache.create(cfg, 1, jnp.float16), 6,
         jax.random.PRNGKey(0), jnp.zeros(1), jnp.full(1, 0.1))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -77,3 +77,51 @@ def test_window_edge_fallback(models):
     got = speculative_generate(target, draft, PROMPT,
                                steps=target.cfg.seq_len - 2, gamma=4)
     assert got.text == want.text
+
+
+def test_sampled_speculative_runs_and_differs_by_seed(models):
+    """Sampled speculative decoding: deterministic per seed, varies across
+    seeds, still stops/streams correctly."""
+    target_path, _, draft_other = models
+
+    def run(seed):
+        target = Engine(target_path)
+        draft = Engine(draft_other)
+        return speculative_generate(target, draft, PROMPT, steps=24,
+                                    gamma=4, temperature=0.9, minp=0.05,
+                                    seed=seed)
+
+    a1, a2, b = run(3), run(3), run(4)
+    assert a1.text == a2.text           # deterministic per seed
+    assert a1.text != b.text or a1.tokens != b.tokens  # seeds differ (w.h.p.)
+
+
+def test_sampled_speculative_matches_target_distribution(models):
+    """One speculative-sampled step reproduces the target's min-p
+    distribution (Leviathan exactness), checked empirically."""
+    target_path, _, draft_other = models
+    temperature, minp = 1.0, 0.02
+
+    # the target's true next-token distribution after the prompt
+    eng = Engine(target_path)
+    toks = eng.tokenizer.encode(PROMPT, bos=True)
+    logits = None
+    for p, t in enumerate(toks):
+        logits = eng.step(t, p)
+    from calm_tpu.speculative import _minp_probs
+    p_true = _minp_probs(logits, temperature, minp)
+
+    counts = np.zeros_like(p_true)
+    trials = 300
+    target = Engine(target_path)
+    draft = Engine(draft_other)
+    for seed in range(trials):
+        target.reset()
+        draft.reset()
+        st = speculative_generate(target, draft, PROMPT, steps=len(toks),
+                                  gamma=2, temperature=temperature,
+                                  minp=minp, seed=seed + 1)
+        counts[st.ids[0]] += 1
+    emp = counts / counts.sum()
+    support = p_true > 0.01
+    assert np.abs(emp[support] - p_true[support]).max() < 0.12
