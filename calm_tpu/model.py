@@ -226,7 +226,8 @@ def _embed(cfg: ModelConfig, embed: QTensor, tokens, plan: ShardingPlan):
     return jax.lax.psum(rows * ok[..., None], plan.tp)
 
 
-def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len):
+def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
+               batch_off=None):
     """GQA attention over the (possibly rolled) cache — fully head-local
     (cache is sharded over kv-heads under tp, so no collective here).
 
@@ -252,11 +253,15 @@ def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len):
     if pallas_decode_enabled() and T == 1:
         from calm_tpu.ops import pallas_attn
         out = pallas_attn.decode_attention(
-            qf[:, 0].reshape(B, KVH * M, hd), kc, vc, kv_len, layer)
+            qf[:, 0].reshape(B, KVH * M, hd), kc, vc, kv_len, layer,
+            jnp.int32(0) if batch_off is None else batch_off)
         return out.reshape(B, T, H * hd)
 
     k_cache = jax.lax.dynamic_index_in_dim(kc, layer, 0, keepdims=False)
     v_cache = jax.lax.dynamic_index_in_dim(vc, layer, 0, keepdims=False)
+    if batch_off is not None:
+        k_cache = jax.lax.dynamic_slice_in_dim(k_cache, batch_off, B, axis=0)
+        v_cache = jax.lax.dynamic_slice_in_dim(v_cache, batch_off, B, axis=0)
 
     # fast (TPU) mode: bf16 operands + f32 accumulation ride the MXU at
     # full rate; the precise f32 path remains the test oracle off-TPU
@@ -370,7 +375,8 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
 
 
 def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
-           kv_len, kv_dtype, rolling: bool, rope, plan: ShardingPlan):
+           kv_len, kv_dtype, rolling: bool, rope, plan: ShardingPlan,
+           batch_off=None):
     """One transformer layer on a (B, T, D) activation wave.
 
     kc/vc: the FULL (L, B, KVH_local, S, hd) caches, updated in place at
@@ -408,23 +414,24 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
     # pos0..pos0+T run)
     kh = k.transpose(0, 2, 1, 3).astype(kv_dtype)[None]  # (1, B, KVH, T, hd)
     vh = v.transpose(0, 2, 1, 3).astype(kv_dtype)[None]
+    boff = jnp.int32(0) if batch_off is None else batch_off
     for b in range(B):
         kc = jax.lax.dynamic_update_slice(
-            kc, kh[:, b:b + 1], (layer, b, 0, kv_pos[b, 0], 0))
+            kc, kh[:, b:b + 1], (layer, boff + b, 0, kv_pos[b, 0], 0))
         vc = jax.lax.dynamic_update_slice(
-            vc, vh[:, b:b + 1], (layer, b, 0, kv_pos[b, 0], 0))
+            vc, vh[:, b:b + 1], (layer, boff + b, 0, kv_pos[b, 0], 0))
 
     if rolling:
         # rotate sink keys forward by one position so their relative RoPE
         # phase tracks the sliding window (reference: src/infer.c:383-394)
         sink5 = jax.lax.dynamic_slice(
-            kc, (layer, 0, 0, 0, 0), (1, B, KVH, KV_SINKS, hd))
+            kc, (layer, boff, 0, 0, 0), (1, B, KVH, KV_SINKS, hd))
         sink = sink5[0].transpose(0, 2, 1, 3).astype(jnp.float32)
         rotated = apply_rope(sink, cos1, sin1)
         wrapped = (pos[:, -1] >= cfg.seq_len)[:, None, None, None]
         upd = (jnp.where(wrapped, rotated, sink).transpose(0, 2, 1, 3)
                .astype(kv_dtype)[None])
-        kc = jax.lax.dynamic_update_slice(kc, upd, (layer, 0, 0, 0, 0))
+        kc = jax.lax.dynamic_update_slice(kc, upd, (layer, boff, 0, 0, 0))
 
     if plan.sp is not None and T > 1:
         # sequence-parallel prefill: all-gather the fresh K/V chunks over sp
@@ -447,7 +454,7 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
                                             layer)
         att = att.reshape(B, T, H * hd)
     else:
-        att = _attention(cfg, q, kc, vc, layer, pos, kv_len)
+        att = _attention(cfg, q, kc, vc, layer, pos, kv_len, batch_off)
     x = x + _psum(qmatmul(att, lw.wo, layer=layer),
                   (plan.tp,) if plan.tp else ())
 
@@ -483,7 +490,8 @@ def _rope_tables(cfg: ModelConfig, pos, batch: int):
 
 def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
                 cache: KVCache, rolling: bool, rope,
-                plan: ShardingPlan) -> tuple[jax.Array, KVCache]:
+                plan: ShardingPlan,
+                batch_off=None) -> tuple[jax.Array, KVCache]:
     """The layer-stack scan on an embedded activation wave; the cache's
     leading axis defines how many (local) layers run — under pipeline
     parallelism each stage holds and runs only its layer shard."""
@@ -493,7 +501,7 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
     def body(carry, layer):
         x, kc, vc = carry
         x, kc, vc = _layer(cfg, x, w.layers, layer, kc, vc, pos, kv_pos,
-                           kv_len, kv_dtype, rolling, rope, plan)
+                           kv_len, kv_dtype, rolling, rope, plan, batch_off)
         return (x, kc, vc), None
 
     unroll = min(LAYER_UNROLL, n_layers)

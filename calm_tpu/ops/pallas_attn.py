@@ -42,12 +42,14 @@ def set_interpret(on: bool):
 def _attn_kernel(sref, q_ref, k_ref, v_ref, o_ref,
                  m_ref, l_ref, acc_ref, *, bs: int, scale: float,
                  kv_fp8: bool):
-    """sref layout: [layer, kv_len_0, ..., kv_len_{B-1}]."""
+    """sref layout: [layer, batch_off, kv_len_0, ..., kv_len_{B-1}].
+    batch_off maps local q row b to cache row batch_off + b (pipeline
+    microbatching addresses a slice of the full-B cache)."""
     b = pl.program_id(0)
     s = pl.program_id(2)
     n_s = pl.num_programs(2)
 
-    kv_len = sref[b + 1]
+    kv_len = sref[b + 2]
     block_live = s * bs < kv_len
 
     @pl.when(s == 0)
@@ -90,7 +92,8 @@ def _attn_kernel(sref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _decode_attention(q, k_cache, v_cache, kv_len, layer, interpret: bool):
+def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
+                      interpret: bool):
     B, H, hd = q.shape
     _, _, KVH, S, _ = k_cache.shape
     M = H // KVH
@@ -109,8 +112,8 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, interpret: bool):
 
     def kv_map(b, h, s, sref):
         # park dead blocks on block 0: already resident, no HBM traffic
-        live = s * bs < sref[b + 1]
-        return (sref[0], b, h, jnp.where(live, s, 0), 0)
+        live = s * bs < sref[b + 2]
+        return (sref[0], sref[1] + b, h, jnp.where(live, s, 0), 0)
 
     def o_map(b, h, s, sref):
         return (b, h, 0, 0)
@@ -132,6 +135,7 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, interpret: bool):
     )
 
     sref = jnp.concatenate([layer[None].astype(jnp.int32),
+                            batch_off[None].astype(jnp.int32),
                             kv_len.astype(jnp.int32)])
     out = pl.pallas_call(
         functools.partial(_attn_kernel, bs=bs, scale=scale, kv_fp8=kv_fp8),
@@ -142,15 +146,17 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, interpret: bool):
     return out.reshape(B, H, hd)
 
 
-def decode_attention(q, k_cache, v_cache, kv_len, layer=None):
-    """q (B, H, hd) f32; caches (L, B, KVH, S, hd) with scalar ``layer``
+def decode_attention(q, k_cache, v_cache, kv_len, layer=None, batch_off=0):
+    """q (B, H, hd) f32; caches (L, B_full, KVH, S, hd) with scalar ``layer``
     selecting the plane (or (B, KVH, S, hd) for a single-layer cache);
-    kv_len (B,) -> (B, H, hd)."""
+    local q row b attends cache row batch_off + b; kv_len (B,) ->
+    (B, H, hd)."""
     if k_cache.ndim == 4:
         k_cache, v_cache = k_cache[None], v_cache[None]
         layer = jnp.int32(0)
     return _decode_attention(q, k_cache, v_cache, kv_len,
-                             jnp.asarray(layer, jnp.int32), _INTERPRET)
+                             jnp.asarray(layer, jnp.int32),
+                             jnp.asarray(batch_off, jnp.int32), _INTERPRET)
 
 
 # ---------------------------------------------------------------------------

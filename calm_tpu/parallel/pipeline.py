@@ -83,6 +83,97 @@ def sharded_decode_step_pp(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
     return jax.jit(fn, donate_argnums=(3,))
 
 
+def decode_step_gpipe_fn(cfg: ModelConfig, w, token, pos, cache: KVCache,
+                         plan: ShardingPlan, n_micro: int):
+    """One decode token for B slots with a GPipe schedule (runs under
+    shard_map): the B slots split into n_micro microbatches; superstep t has
+    stage s working microbatch t - s, so all pp stages stream their layer
+    shards CONCURRENTLY once the pipeline fills — the (pp-1)-step ramp is
+    the only bubble. Each stage addresses its microbatch's slice of the
+    full-B cache through the batch_off threading in the layer/attention
+    code. Requires B % n_micro == 0.
+    """
+    pp = jax.lax.axis_size(plan.pp)
+    stage = jax.lax.axis_index(plan.pp)
+    B = token.shape[0]
+    assert B % n_micro == 0
+    Bm = B // n_micro
+
+    kv_pos_f, kv_len_f = decode_indices(cfg, pos)
+    q_pos_f = pos[:, None]
+    x_full = _embed(cfg, w.embed, token[:, None], plan)     # (B, 1, D)
+    rope_f = _rope_tables(cfg, q_pos_f, B)
+
+    V_local = (w.output.shape[0] if plan.tp is None
+               else w.output.data.shape[0])
+    out_logits = jnp.zeros((B, V_local), jnp.float32)
+    kc, vc = cache.k, cache.v
+    x_buf = jnp.zeros((Bm, 1, cfg.dim), jnp.float32)
+
+    for t in range(n_micro + pp - 1):
+        m = t - stage                       # this stage's microbatch index
+        valid = (m >= 0) & (m < n_micro)
+        boff = jnp.clip(m, 0, n_micro - 1) * Bm
+
+        # stage 0 injects a fresh microbatch; later stages take the wave
+        inject = (stage == 0) & jnp.bool_(t < n_micro)
+        x_in = jnp.where(inject,
+                         jax.lax.dynamic_slice_in_dim(x_full, boff, Bm, 0),
+                         x_buf)
+
+        pos_m = jax.lax.dynamic_slice_in_dim(q_pos_f, boff, Bm, 0)
+        kvp_m = jax.lax.dynamic_slice_in_dim(kv_pos_f, boff, Bm, 0)[:, None]
+        kvl_m = jax.lax.dynamic_slice_in_dim(kv_len_f, boff, Bm, 0)
+        rope_m = tuple(jax.lax.dynamic_slice_in_dim(r, boff, Bm, 0)
+                       for r in rope_f)
+
+        def active(x, kc, vc):
+            x2, c2 = _run_layers(cfg, w, x, pos_m, kvp_m, kvl_m,
+                                 KVCache(kc, vc), rolling=True, rope=rope_m,
+                                 plan=plan, batch_off=boff)
+            lg = jax.lax.cond(
+                stage == pp - 1,
+                lambda: _head(cfg, w, x2, "last"),
+                lambda: jnp.zeros((Bm, V_local), jnp.float32))
+            return x2, c2.k, c2.v, lg
+
+        def passthrough(x, kc, vc):
+            return x, kc, vc, jnp.zeros((Bm, V_local), jnp.float32)
+
+        x_out, kc, vc, lg = jax.lax.cond(valid, active, passthrough,
+                                         x_in, kc, vc)
+
+        write = valid & (stage == pp - 1)
+        cur = jax.lax.dynamic_slice_in_dim(out_logits, boff, Bm, 0)
+        out_logits = jax.lax.dynamic_update_slice_in_dim(
+            out_logits, jnp.where(write, lg, cur), boff, 0)
+
+        x_buf = jax.lax.ppermute(x_out, plan.pp,
+                                 [(i, (i + 1) % pp) for i in range(pp)])
+
+    # only the last stage holds real logits; broadcast
+    keep = (stage == pp - 1)
+    out_logits = jax.lax.psum(jnp.where(keep, out_logits, 0.0), plan.pp)
+    return out_logits, KVCache(kc, vc)
+
+
+def sharded_decode_step_gpipe(cfg: ModelConfig, mesh: Mesh,
+                              plan: ShardingPlan, n_micro: int):
+    """Build the jitted GPipe decode step: (w, token (B,), pos (B,), cache)
+    -> (logits (B, V), cache), with B slots pipelined as n_micro
+    microbatches across the pp stages."""
+    assert plan.pp is not None
+    wspecs = weight_pspecs(cfg, plan)
+    cspecs = cache_pspecs(plan)
+
+    fn = shard_map(partial(decode_step_gpipe_fn, cfg, plan=plan,
+                           n_micro=n_micro), mesh=mesh,
+                   in_specs=(wspecs, P(), P(), cspecs),
+                   out_specs=(P(None, plan.tp), cspecs),
+                   check_vma=False)
+    return jax.jit(fn, donate_argnums=(3,))
+
+
 def make_pp_mesh(pp: int, tp: int = 1, devices=None) -> Mesh:
     import numpy as np
     devices = devices if devices is not None else jax.devices()

@@ -178,3 +178,37 @@ def test_pp2_decode_parity(tmp_path):
         logits, cache = step(ws, jnp.array([tok]), jnp.array([pos]), cache)
         out.append(np.asarray(logits[0]))
     np.testing.assert_allclose(np.stack(out), want, rtol=1e-4, atol=1e-4)
+
+
+def test_gpipe_decode_parity(tmp_path):
+    """GPipe microbatched pipeline decode (2 stages x 2 microbatches over 4
+    slots) matches unsharded batched decode slot for slot."""
+    from calm_tpu.parallel.pipeline import (make_pp_mesh,
+                                            sharded_decode_step_gpipe)
+    from calm_tpu.parallel.sharding import _tree_shardings, cache_pspecs
+
+    cfg = tiny_config(dtype="fp16")
+    w = build(tmp_path, cfg)
+    B = 4
+
+    # reference: unsharded batched decode, different token per slot
+    cache = M.KVCache.create(cfg, B, jnp.float16)
+    seq = [[1, 5, 9], [7, 3, 11], [2, 8, 4], [200, 42, 6]]
+    want = []
+    for pos in range(3):
+        toks = jnp.asarray([seq[b][pos] for b in range(B)], jnp.int32)
+        logits, cache = M.decode_step(cfg, w, toks,
+                                      jnp.full((B,), pos, jnp.int32), cache)
+        want.append(np.asarray(logits))
+
+    plan = ShardingPlan(tp="tp", pp="pp")
+    mesh = make_pp_mesh(pp=2, tp=2)
+    ws = shard_weights(w, cfg, mesh, plan)
+    cache = jax.device_put(M.KVCache.create(cfg, B, jnp.float16),
+                           _tree_shardings(mesh, cache_pspecs(plan)))
+    step = sharded_decode_step_gpipe(cfg, mesh, plan, n_micro=2)
+    for pos in range(3):
+        toks = jnp.asarray([seq[b][pos] for b in range(B)], jnp.int32)
+        logits, cache = step(ws, toks, jnp.full((B,), pos, jnp.int32), cache)
+        np.testing.assert_allclose(np.asarray(logits), want[pos],
+                                   rtol=1e-4, atol=1e-4)
