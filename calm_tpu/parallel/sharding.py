@@ -80,6 +80,7 @@ def shard_weights(w: Weights, cfg: ModelConfig, mesh: Mesh,
     """Place a host-loaded Weights pytree onto the mesh per the plan."""
     plan.validate(cfg, mesh.shape.get(plan.tp, 1) if plan.tp else 1,
                   mesh.shape.get(plan.ep, 1) if plan.ep else 1)
+    plan.validate_pp(cfg, mesh.shape.get(plan.pp, 1) if plan.pp else 1)
     shardings = _tree_shardings(mesh, weight_pspecs(cfg, plan))
     return jax.device_put(w, shardings)
 

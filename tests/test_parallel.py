@@ -212,3 +212,29 @@ def test_gpipe_decode_parity(tmp_path):
         logits, cache = step(ws, toks, jnp.full((B,), pos, jnp.int32), cache)
         np.testing.assert_allclose(np.asarray(logits), want[pos],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_pp2_ep2_moe_decode(tmp_path):
+    """Pipeline stages compose with expert sharding: pp=2 x ep=2 x tp=2 on
+    the 8-device mesh, MoE model, parity vs single-device."""
+    import numpy as _np
+    from jax.sharding import Mesh
+    from calm_tpu.parallel.pipeline import sharded_decode_step_pp
+    from calm_tpu.parallel.sharding import _tree_shardings, cache_pspecs
+
+    cfg = tiny_config(dtype="fp16", moe=True)
+    w = build(tmp_path, cfg)
+    want = reference_logits(cfg, w, TOKENS)
+
+    devs = _np.asarray(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh = Mesh(devs, ("pp", "ep", "tp"))
+    plan = ShardingPlan(tp="tp", ep="ep", pp="pp")
+    ws = shard_weights(w, cfg, mesh, plan)
+    cache = jax.device_put(M.KVCache.create(cfg, 1, jnp.float16),
+                           _tree_shardings(mesh, cache_pspecs(plan)))
+    step = sharded_decode_step_pp(cfg, mesh, plan)
+    out = []
+    for pos, tok in enumerate(TOKENS):
+        logits, cache = step(ws, jnp.array([tok]), jnp.array([pos]), cache)
+        out.append(np.asarray(logits[0]))
+    np.testing.assert_allclose(np.stack(out), want, rtol=1e-4, atol=1e-4)
