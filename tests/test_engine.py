@@ -142,3 +142,19 @@ def test_chat_templates_all_families():
     tok = FakeTok(b"<<nomatch>>")
     assert chat_template(tok, True) == _LLAMA2[0]
     assert chat_template(tok, False) == _LLAMA2[1]
+
+
+def test_env_hooks_calm_tokens_poso(tmp_path, capsys, monkeypatch):
+    """CALM_TOKENS dumps prompt ids; CALM_POSO offsets decode positions
+    (reference: src/run.c:181-187,605-607)."""
+    from calm_tpu import cli
+    from tests.modelgen import tiny_config, write_tiny_model
+
+    path = str(tmp_path / "m.calm")
+    write_tiny_model(path, tiny_config(dtype="fp16"))
+
+    monkeypatch.setenv("CALM_TOKENS", "1")
+    monkeypatch.setenv("CALM_POSO", "3")
+    cli.main([path, "-t", "0", "-n", "8", "-i", "hi"])
+    out = capsys.readouterr().out
+    assert ":" in out and "[" in out  # token id dump rendered
