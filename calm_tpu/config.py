@@ -32,6 +32,13 @@ class ModelConfig:
     act_gelu: bool = False       # GELU (GEGLU) instead of SiLU (SwiGLU)
     norm_ln: bool = True         # mean-subtracting LayerNorm instead of RMSNorm
     norm_par: bool = False       # parallel attn+ffn off one norm (Cohere)
+    norm_qk: bool = False        # RMSNorm on full q/k projections (OLMoE);
+                                 # the reference converter warns and SKIPS this
+                                 # (reference tools/convert.py:315) — we keep
+                                 # exact parity with the HF forward instead
+    moe_renorm: bool = True      # renormalize gate weights over the top-k
+                                 # (Mixtral/DBRX; reference src/infer.c:277-305)
+                                 # vs softmax-over-all probabilities (OLMoE)
     qkv_clip: float = math.inf   # clip qkv activations to [-clip, clip]
 
     # container-level fields (not part of the reference Config struct but
@@ -88,6 +95,8 @@ class ModelConfig:
             act_gelu=md.get("act_type", "silu") == "gelu",
             norm_ln=norm_type.startswith("layernorm"),
             norm_par=norm_type == "layernorm_par",
+            norm_qk=md.get("norm_qk", "0") == "1",
+            moe_renorm=md.get("moe_renorm", "1") != "0",
             qkv_clip=qkv_clip,
             arch=md.get("arch", "llama"),
             dtype=md.get("dtype", "fp16"),
@@ -122,4 +131,8 @@ class ModelConfig:
             md["n_experts_active"] = self.n_experts_ac
         if self.qkv_clip != math.inf:
             md["qkv_clip"] = self.qkv_clip
+        if self.norm_qk:
+            md["norm_qk"] = 1
+        if not self.moe_renorm:
+            md["moe_renorm"] = 0
         return {k: str(v) for k, v in md.items()}

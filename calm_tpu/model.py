@@ -69,6 +69,8 @@ class LayerWeights:
     w2: QTensor      # (L, [E,] D, H)
     w3: QTensor      # (L, [E,] H, D)
     moegate: Any     # QTensor (L, E, D) or None
+    q_norm: Any = None  # (L, q_dim) f32 when cfg.norm_qk (OLMoE), else None
+    k_norm: Any = None  # (L, kv_dim) f32 when cfg.norm_qk, else None
 
 
 @_shallow_pytree
@@ -164,6 +166,14 @@ def load_weights(tf: TensorFile, cfg: ModelConfig) -> Weights:
         w3 = stack(lambda l: qget("model.layers.%d.mlp.w3.weight", l, (Hd, D // gs)))
         moegate = None
 
+    if cfg.norm_qk:
+        q_norm = stack(lambda l: np.asarray(
+            tf.get("model.layers.%d.attn.q_norm.weight", l, np.float32, (Q,))))
+        k_norm = stack(lambda l: np.asarray(
+            tf.get("model.layers.%d.attn.k_norm.weight", l, np.float32, (KV,))))
+    else:
+        q_norm = k_norm = None
+
     final_norm = np.asarray(tf.get("model.norm.weight", None, np.float32, (D,)))
 
     if tf.find("model.output.weight") is None:
@@ -178,7 +188,9 @@ def load_weights(tf: TensorFile, cfg: ModelConfig) -> Weights:
         wv=QTensor.from_numpy(wv, fmt), wo=QTensor.from_numpy(wo, fmt),
         bq=jnp.asarray(bq), bk=jnp.asarray(bk), bv=jnp.asarray(bv),
         w1=QTensor.from_numpy(w1, fmt), w2=QTensor.from_numpy(w2, fmt),
-        w3=QTensor.from_numpy(w3, fmt), moegate=moegate)
+        w3=QTensor.from_numpy(w3, fmt), moegate=moegate,
+        q_norm=None if q_norm is None else jnp.asarray(q_norm),
+        k_norm=None if k_norm is None else jnp.asarray(k_norm))
 
     return Weights(embed=embed, layers=layers,
                    final_norm=jnp.asarray(final_norm), output=output)
@@ -212,6 +224,18 @@ def _clip(cfg: ModelConfig, x):
     if math.isfinite(cfg.qkv_clip):
         return jnp.clip(x, -cfg.qkv_clip, cfg.qkv_clip)
     return x
+
+
+def _qk_norm(cfg: ModelConfig, x, weight, global_dim: int, tp_axis):
+    """Full-vector RMSNorm on a q/k projection (OLMoE). Under tp the vector
+    is column-sharded, so the mean-square closes with a scalar psum; the
+    norm weight rides permuted/sharded with its projection rows, and the
+    mean-square is permutation-invariant, so numerics match the unsharded
+    HF forward exactly."""
+    ss = jnp.sum(jnp.square(x.astype(jnp.float32)), -1, keepdims=True)
+    if tp_axis is not None:
+        ss = jax.lax.psum(ss, tp_axis)
+    return x * jax.lax.rsqrt(ss / global_dim + cfg.norm_eps) * weight
 
 
 def _embed(cfg: ModelConfig, embed: QTensor, tokens, plan: ShardingPlan):
@@ -322,8 +346,14 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
     src/infer.cu:597-620).
     """
     gate = qmatmul(xb2, lw.moegate, layer=layer)           # (B, T, E) replicated
-    top_vals, top_idx = jax.lax.top_k(gate, cfg.n_experts_ac)
-    moe_w = jax.nn.softmax(top_vals, axis=-1)              # (B, T, A)
+    if cfg.moe_renorm:
+        top_vals, top_idx = jax.lax.top_k(gate, cfg.n_experts_ac)
+        moe_w = jax.nn.softmax(top_vals, axis=-1)          # (B, T, A)
+    else:
+        # OLMoE (norm_topk_prob=False): weights are the softmax-over-all
+        # probabilities of the selected experts, NOT renormalized
+        probs = jax.nn.softmax(gate, axis=-1)
+        moe_w, top_idx = jax.lax.top_k(probs, cfg.n_experts_ac)
 
     e_local = lw.w1.data.shape[1]                          # local expert count
     if plan.ep is not None:
@@ -402,6 +432,9 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
     q = qmatmul(xb, lw.wq, layer=layer) + row(lw.bq)
     k = qmatmul(xb, lw.wk, layer=layer) + row(lw.bk)
     v = qmatmul(xb, lw.wv, layer=layer) + row(lw.bv)
+    if cfg.norm_qk:  # OLMoE: RMSNorm the full q/k vectors before clip/RoPE
+        q = _qk_norm(cfg, q, row(lw.q_norm), cfg.q_dim, plan.tp)
+        k = _qk_norm(cfg, k, row(lw.k_norm), cfg.kv_dim, plan.tp)
     q, k, v = _clip(cfg, q), _clip(cfg, k), _clip(cfg, v)
 
     cos, sin, cos1, sin1 = rope  # tables precomputed once per step

@@ -55,7 +55,9 @@ def weight_pspecs(cfg: ModelConfig, plan: ShardingPlan) -> Weights:
         wq=qt(P(pp, tp, None)), wk=qt(P(pp, tp, None)),
         wv=qt(P(pp, tp, None)), wo=qt(P(pp, None, tp)),
         bq=P(pp, tp), bk=P(pp, tp), bv=P(pp, tp),
-        w1=w13, w2=w2, w3=w13, moegate=moegate)
+        w1=w13, w2=w2, w3=w13, moegate=moegate,
+        q_norm=P(pp, tp) if cfg.norm_qk else None,
+        k_norm=P(pp, tp) if cfg.norm_qk else None)
 
     return Weights(embed=qt(P(tp, None)), layers=layers,
                    final_norm=P(None), output=qt(P(tp, None)))

@@ -253,3 +253,221 @@ def test_pad_vocab(tmp_path):
                           logits_mode="all")
     got = np.asarray(logits[0], np.float32)
     np.testing.assert_allclose(got[:, :268], hf_logits, rtol=5e-2, atol=5e-2)
+
+
+def test_convert_phi3(tmp_path):
+    """Phi3: fused qkv_proj and gate_up_proj splits."""
+    import torch
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    hf = {"architectures": ["Phi3ForCausalLM"], "hidden_size": 48,
+          "intermediate_size": 64, "num_hidden_layers": 2,
+          "num_attention_heads": 4, "num_key_value_heads": 2,
+          "vocab_size": 268, "max_position_embeddings": 128,
+          "bos_token_id": 1, "eos_token_id": 2, "pad_token_id": 0,
+          "rope_theta": 10000.0, "rms_norm_eps": 1e-5, "hidden_act": "silu",
+          "tie_word_embeddings": False}
+    cfg = Phi3Config(**{k: v for k, v in hf.items() if k != "architectures"})
+    torch.manual_seed(11)
+    model = Phi3ForCausalLM(cfg).eval()
+    assert any("qkv_proj" in k for k in model.state_dict())
+    _convert_and_compare(tmp_path, model, hf)
+
+
+def test_convert_cohere(tmp_path):
+    """Cohere: parallel-LN blocks, logit_scale folded into the final norm,
+    tied embeddings, non-interleaved (native) rope — no permute."""
+    import torch
+    from transformers import CohereConfig, CohereForCausalLM
+
+    hf = {"architectures": ["CohereForCausalLM"], "hidden_size": 48,
+          "intermediate_size": 64, "num_hidden_layers": 2,
+          "num_attention_heads": 4, "num_key_value_heads": 2,
+          "vocab_size": 268, "max_position_embeddings": 128,
+          "bos_token_id": 1, "eos_token_id": 2, "rope_theta": 10000.0,
+          "layer_norm_eps": 1e-5, "logit_scale": 0.125,
+          "hidden_act": "silu", "tie_word_embeddings": True,
+          "use_qk_norm": False}
+    cfg = CohereConfig(**{k: v for k, v in hf.items() if k != "architectures"})
+    torch.manual_seed(13)
+    model = CohereForCausalLM(cfg).eval()
+    _convert_and_compare(tmp_path, model, hf)
+
+
+def test_convert_olmoe(tmp_path):
+    """OLMoE: full-vector q/k RMSNorm (which the reference converter warns it
+    does NOT support — we do) + softmax-over-all gate without top-k renorm."""
+    import torch
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+
+    hf = {"architectures": ["OlmoeForCausalLM"], "hidden_size": 48,
+          "intermediate_size": 64, "num_hidden_layers": 2,
+          "num_attention_heads": 4, "num_key_value_heads": 2,
+          "vocab_size": 268, "max_position_embeddings": 128,
+          "bos_token_id": 1, "eos_token_id": 2, "rope_theta": 10000.0,
+          "rms_norm_eps": 1e-5, "hidden_act": "silu",
+          "num_experts": 4, "num_experts_per_tok": 2,
+          "norm_topk_prob": False, "tie_word_embeddings": False}
+    cfg = OlmoeConfig(**{k: v for k, v in hf.items() if k != "architectures"})
+    torch.manual_seed(17)
+    model = OlmoeForCausalLM(cfg).eval()
+    assert any("q_norm" in k for k in model.state_dict())
+    _convert_and_compare(tmp_path, model, hf)
+
+
+def test_convert_dbrx(tmp_path):
+    """DBRX: fused Wqkv split, qkv clip, LayerNorm(no bias), packed expert
+    tensors (w1/v1/w2 reshaped + transposed), p=1-renormalized router."""
+    import torch
+    from transformers import DbrxConfig, DbrxForCausalLM
+
+    hf = {"architectures": ["DbrxForCausalLM"], "d_model": 48,
+          "n_heads": 4, "n_layers": 2, "max_seq_len": 128,
+          "vocab_size": 268,
+          "attn_config": {"clip_qkv": 8.0, "kv_n_heads": 2,
+                          "rope_theta": 10000.0},
+          "ffn_config": {"ffn_hidden_size": 64, "moe_num_experts": 4,
+                         "moe_top_k": 2}}
+    cfg = DbrxConfig(**{k: v for k, v in hf.items() if k != "architectures"})
+    torch.manual_seed(19)
+    model = DbrxForCausalLM(cfg).eval()
+    _convert_and_compare(tmp_path, model, hf)
+
+
+def test_convert_olmo_raw(tmp_path):
+    """OLMo (allenai raw checkpoint format): fused att_proj/ff_proj splits,
+    non-parametric LayerNorm, qkv clip. The raw checkpoint is synthesized
+    from an HF OlmoForCausalLM state dict (the inverse of HF's conversion),
+    and the converted engine must match the HF torch forward."""
+    import torch
+    from transformers import OlmoConfig, OlmoForCausalLM
+
+    D, I = 48, 64
+    cfg = OlmoConfig(hidden_size=D, intermediate_size=I, num_hidden_layers=2,
+                     num_attention_heads=4, num_key_value_heads=4,
+                     vocab_size=268, max_position_embeddings=128,
+                     bos_token_id=1, eos_token_id=2, rope_theta=10000.0,
+                     hidden_act="silu", clip_qkv=0.5,
+                     tie_word_embeddings=False)
+    torch.manual_seed(23)
+    model = OlmoForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()
+          if not k.endswith("rotary_emb.inv_freq")}
+
+    raw = {"model.transformer.wte.weight": sd["model.embed_tokens.weight"],
+           "model.transformer.ff_out.weight": sd["lm_head.weight"]}
+    for l in range(2):
+        p, b = f"model.layers.{l}", f"model.transformer.blocks.{l}"
+        raw[f"{b}.att_proj.weight"] = np.concatenate(
+            [sd[f"{p}.self_attn.q_proj.weight"],
+             sd[f"{p}.self_attn.k_proj.weight"],
+             sd[f"{p}.self_attn.v_proj.weight"]])
+        raw[f"{b}.attn_out.weight"] = sd[f"{p}.self_attn.o_proj.weight"]
+        # raw ff_proj chunks as (x1=up, x2=gate): act(x2) * x1
+        raw[f"{b}.ff_proj.weight"] = np.concatenate(
+            [sd[f"{p}.mlp.up_proj.weight"], sd[f"{p}.mlp.gate_proj.weight"]])
+        raw[f"{b}.ff_out.weight"] = sd[f"{p}.mlp.down_proj.weight"]
+
+    from calm_tpu import container as C
+    d = tmp_path
+    C.write_tensors(str(d / "model.safetensors"), raw, {})
+    raw_cfg = {"architectures": ["OLMoForCausalLM"], "d_model": D,
+               "n_layers": 2, "n_heads": 4, "mlp_hidden_size": 2 * I,
+               "embedding_size": 268, "max_sequence_length": 128,
+               "eos_token_id": 2, "clip_qkv": 0.5,
+               "activation_type": "swiglu", "weight_tying": False}
+    with open(d / "config.json", "w") as f:
+        json.dump(raw_cfg, f)
+    _mini_tokenizer_json(d, 268)
+
+    out = str(d / "model.calm")
+    convert_mod.main([out, str(d), "--dtype", "fp16"])
+
+    tokens = [1, 10, 25, 199, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].numpy()
+
+    import jax.numpy as jnp
+    from calm_tpu import model as M
+    from calm_tpu.engine import Engine
+    eng = Engine(out, context=32, kv_dtype="fp16")
+    assert eng.cfg.norm_ln and eng.cfg.qkv_clip == 0.5
+    logits, _ = M.prefill(eng.cfg, eng.weights,
+                          jnp.asarray([tokens], jnp.int32),
+                          jnp.zeros((1,), jnp.int32), eng.cache,
+                          logits_mode="all")
+    got = np.asarray(logits[0], np.float32)
+    np.testing.assert_allclose(got, hf_logits, rtol=5e-2, atol=5e-2)
+    assert (got.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95
+
+
+def test_convert_internlm2(tmp_path):
+    """InternLM2: fused wqkv with (kv_head, kv_mul+2, hd) grouping + renamed
+    tensors. InternLM2 is llama-architecture, so the checkpoint is synthesized
+    from an HF Llama state dict regrouped into the internlm2 layout and the
+    Llama torch forward is the oracle."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    D, HD, NH, NKV = 48, 12, 4, 2
+    cfg = LlamaConfig(hidden_size=D, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=NH,
+                      num_key_value_heads=NKV, vocab_size=268,
+                      max_position_embeddings=128, bos_token_id=1,
+                      eos_token_id=2, rope_theta=10000.0, rms_norm_eps=1e-5,
+                      hidden_act="silu", tie_word_embeddings=False,
+                      attention_bias=False)
+    torch.manual_seed(29)
+    model = LlamaForCausalLM(cfg).eval()
+    sd = {k: v.detach().float().numpy() for k, v in model.state_dict().items()
+          if not k.endswith("rotary_emb.inv_freq")}
+
+    kv_mul = NH // NKV
+    raw = {"model.tok_embeddings.weight": sd["model.embed_tokens.weight"],
+           "model.norm.weight": sd["model.norm.weight"],
+           "output.weight": sd["lm_head.weight"]}
+    for l in range(2):
+        p = f"model.layers.{l}"
+        q = sd[f"{p}.self_attn.q_proj.weight"].reshape(NKV, kv_mul, HD, D)
+        k = sd[f"{p}.self_attn.k_proj.weight"].reshape(NKV, 1, HD, D)
+        v = sd[f"{p}.self_attn.v_proj.weight"].reshape(NKV, 1, HD, D)
+        raw[f"{p}.attention.wqkv.weight"] = np.concatenate(
+            [q, k, v], axis=1).reshape((kv_mul + 2) * NKV * HD, D)
+        raw[f"{p}.attention.wo.weight"] = sd[f"{p}.self_attn.o_proj.weight"]
+        raw[f"{p}.attention_norm.weight"] = sd[f"{p}.input_layernorm.weight"]
+        raw[f"{p}.ffn_norm.weight"] = sd[f"{p}.post_attention_layernorm.weight"]
+        raw[f"{p}.feed_forward.w1.weight"] = sd[f"{p}.mlp.gate_proj.weight"]
+        raw[f"{p}.feed_forward.w2.weight"] = sd[f"{p}.mlp.down_proj.weight"]
+        raw[f"{p}.feed_forward.w3.weight"] = sd[f"{p}.mlp.up_proj.weight"]
+
+    from calm_tpu import container as C
+    d = tmp_path
+    C.write_tensors(str(d / "model.safetensors"), raw, {})
+    raw_cfg = {"architectures": ["InternLM2ForCausalLM"], "hidden_size": D,
+               "intermediate_size": 64, "num_hidden_layers": 2,
+               "num_attention_heads": NH, "num_key_value_heads": NKV,
+               "vocab_size": 268, "max_position_embeddings": 128,
+               "bos_token_id": 1, "eos_token_id": 2, "rope_theta": 10000.0,
+               "rms_norm_eps": 1e-5, "hidden_act": "silu"}
+    with open(d / "config.json", "w") as f:
+        json.dump(raw_cfg, f)
+    _mini_tokenizer_json(d, 268)
+
+    out = str(d / "model.calm")
+    convert_mod.main([out, str(d), "--dtype", "fp16"])
+
+    tokens = [1, 10, 25, 199, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].numpy()
+
+    import jax.numpy as jnp
+    from calm_tpu import model as M
+    from calm_tpu.engine import Engine
+    eng = Engine(out, context=32, kv_dtype="fp16")
+    logits, _ = M.prefill(eng.cfg, eng.weights,
+                          jnp.asarray([tokens], jnp.int32),
+                          jnp.zeros((1,), jnp.int32), eng.cache,
+                          logits_mode="all")
+    got = np.asarray(logits[0], np.float32)
+    np.testing.assert_allclose(got, hf_logits, rtol=5e-2, atol=5e-2)
+    assert (got.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95

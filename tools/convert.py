@@ -77,6 +77,13 @@ def extract_metadata(arch: str, config: dict, dtype: str) -> dict:
         elif arch in ("minicpm", "olmoe") and config.get("num_experts"):
             md["n_experts"] = config["num_experts"]
             md["n_experts_active"] = config["num_experts_per_tok"]
+        if arch == "olmoe":
+            # OLMoE RMSNorms the full q/k projections; the reference skips
+            # this with a warning (reference tools/convert.py:315) — we carry
+            # the norm weights so the engine matches the HF forward exactly
+            md["norm_qk"] = 1
+            if not config.get("norm_topk_prob", False):
+                md["moe_renorm"] = 0  # gate probs NOT renormalized over top-k
     elif arch == "olmo":
         md["dim"] = config["d_model"]
         md["hidden_dim"] = (config["mlp_hidden_size"] or config["d_model"] * config["mlp_ratio"]) // 2
@@ -296,7 +303,10 @@ def convert_weights(cv: Converter, arch: str, config: dict, md: dict,
     n_heads = md["n_heads"]
     n_kv_heads = md["n_kv_heads"]
 
-    if arch in HF_FAMILY:
+    # weight-name families: internlm2/phi3 share the HF metadata schema but
+    # carry fused/renamed tensors, handled in their own branches below
+    if arch in ("llama", "mistral", "mixtral", "qwen2", "gemma", "minicpm",
+                "cohere", "xverse", "olmoe"):
         t["model.embed.weight"] = cv.conv(weights["model.embed_tokens.weight"])
         for l in range(n_layers):
             p = f"model.layers.{l}"
@@ -317,6 +327,17 @@ def convert_weights(cv: Converter, arch: str, config: dict, md: dict,
                     permute_reverse(to_f32(weights[f"{p}.self_attn.k_proj.bias"]), n_kv_heads, rotary_dim),
                     to_f32(weights[f"{p}.self_attn.v_proj.bias"]),
                 ])
+
+            if arch == "olmoe":
+                # q/k norm weights ride permuted like their projection rows
+                # (the mean-square is permutation-invariant, so RMSNorm on the
+                # permuted vector with the permuted weight is exact)
+                qn = to_f32(weights[f"{p}.self_attn.q_norm.weight"])
+                kn = to_f32(weights[f"{p}.self_attn.k_norm.weight"])
+                t[f"{p}.attn.q_norm.weight"] = permute_reverse(
+                    qn.reshape(-1, 1), n_heads, rotary_dim).reshape(-1)
+                t[f"{p}.attn.k_norm.weight"] = permute_reverse(
+                    kn.reshape(-1, 1), n_kv_heads, rotary_dim).reshape(-1)
 
             if arch != "cohere":
                 t[f"{p}.mlp.norm.weight"] = to_f32(weights[f"{p}.post_attention_layernorm.weight"])
