@@ -16,8 +16,10 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 import sys
 import time
+import weakref
 from typing import Callable, Iterable
 
 import jax.numpy as jnp
@@ -59,6 +61,14 @@ def kv_cache_bytes(cfg: ModelConfig, kv_bits: int, pos: int) -> int:
     return 2 * (kv_bits // 8) * cfg.n_layers * cfg.kv_dim * kv_len
 
 
+# process-level weight cache: engines opening the same container share one
+# device copy (speculative decoding with target==draft, server + offline
+# engine in one process). Weight pytrees are immutable post-load, so sharing
+# is safe; weak values let the copy die with its last engine.
+_WEIGHTS_CACHE: "weakref.WeakValueDictionary[tuple, M.Weights]" = (
+    weakref.WeakValueDictionary())
+
+
 class Engine:
     def __init__(self, path: str, context: int = 0,
                  kv_dtype: str | None = None, batch: int = 1):
@@ -69,7 +79,13 @@ class Engine:
         self.tf = TensorFile(path)
         self.cfg = ModelConfig.from_metadata(self.tf.metadata, context)
         self.tokenizer = Tokenizer.from_container(self.tf)
-        self.weights = M.load_weights(self.tf, self.cfg)
+        st = os.stat(path)
+        wkey = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+        w = _WEIGHTS_CACHE.get(wkey)
+        if w is None:
+            w = M.load_weights(self.tf, self.cfg)
+            _WEIGHTS_CACHE[wkey] = w
+        self.weights = w
         self.batch = batch
 
         # weight bytes/params accounting (src/run.c:523-532)

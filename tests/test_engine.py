@@ -158,3 +158,19 @@ def test_env_hooks_calm_tokens_poso(tmp_path, capsys, monkeypatch):
     cli.main([path, "-t", "0", "-n", "8", "-i", "hi"])
     out = capsys.readouterr().out
     assert ":" in out and "[" in out  # token id dump rendered
+
+
+def test_shared_weights_same_container(tmp_path):
+    """Two engines on one container share a single device weight copy
+    (speculative decoding with target==draft must not double HBM)."""
+    cfg = tiny_config(dtype="fp16", seq_len=32)
+    path = str(tmp_path / "shared.calm")
+    write_tiny_model(path, cfg, seed=4)
+    a = Engine(path, context=16)
+    b = Engine(path, context=32)  # different context: same weights
+    assert a.weights is b.weights
+
+    other = str(tmp_path / "other.calm")
+    write_tiny_model(other, cfg, seed=5)
+    c = Engine(other, context=16)
+    assert c.weights is not a.weights
