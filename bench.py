@@ -77,7 +77,7 @@ def bench_decode(cfg: ModelConfig, kv_dtype, steps: int, pos0: int,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="mistral7b", choices=sorted(SHAPES))
-    ap.add_argument("--dtype", default="fp8", choices=["fp16", "fp8", "gf4"])
+    ap.add_argument("--dtype", default="fp8", choices=["fp16", "fp8", "fp8e4", "gf4"])
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--ctx", type=int, default=4096)
     ap.add_argument("--kv", default="bf16", choices=["bf16", "fp16", "fp8"])

@@ -109,6 +109,7 @@ def _file_dtype(fmt: str):
     import ml_dtypes
     return {"fp16": np.dtype(np.float16),
             "fp8": np.dtype(ml_dtypes.float8_e5m2),
+            "fp8e4": np.dtype(ml_dtypes.float8_e4m3fn),
             "gf4": np.dtype(np.int32)}[fmt]
 
 
@@ -129,10 +130,26 @@ def load_weights(tf: TensorFile, cfg: ModelConfig) -> Weights:
     def qget(name, layer, shape):
         return np.asarray(tf.get(name, layer, wdt, shape))
 
-    embed = QTensor.from_numpy(qget("model.embed.weight", None, (V, D // gs)), fmt)
+    def sget(name, layer=None):
+        """Per-tensor fp8e4 dequant scale ((1,) f32 alongside each weight)."""
+        if fmt != "fp8e4":
+            return None
+        return np.asarray(tf.get(name + ".scale", layer, np.float32, (1,)))
+
+    def qtensor(name, layer, shape):
+        return QTensor.from_numpy(qget(name, layer, shape), fmt,
+                                  scale=sget(name, layer))
+
+    embed = qtensor("model.embed.weight", None, (V, D // gs))
 
     def stack(fn):
         return np.stack([fn(l) for l in range(cfg.n_layers)])
+
+    def qstack(name, shape):
+        """Layer-stacked QTensor; fp8e4 scales stack along the same axis."""
+        data = stack(lambda l: qget(name, l, shape))
+        scale = (stack(lambda l: sget(name, l)) if fmt == "fp8e4" else None)
+        return QTensor.from_numpy(data, fmt, scale=scale)
 
     attn_norm = stack(lambda l: np.asarray(
         tf.get("model.layers.%d.attn.norm.weight", l, np.float32, (D,))))
@@ -142,10 +159,10 @@ def load_weights(tf: TensorFile, cfg: ModelConfig) -> Weights:
         ffn_norm = stack(lambda l: np.asarray(
             tf.get("model.layers.%d.mlp.norm.weight", l, np.float32, (D,))))
 
-    wq = stack(lambda l: qget("model.layers.%d.attn.wq.weight", l, (Q, D // gs)))
-    wk = stack(lambda l: qget("model.layers.%d.attn.wk.weight", l, (KV, D // gs)))
-    wv = stack(lambda l: qget("model.layers.%d.attn.wv.weight", l, (KV, D // gs)))
-    wo = stack(lambda l: qget("model.layers.%d.attn.wo.weight", l, (D, Q // gs)))
+    wq = qstack("model.layers.%d.attn.wq.weight", (Q, D // gs))
+    wk = qstack("model.layers.%d.attn.wk.weight", (KV, D // gs))
+    wv = qstack("model.layers.%d.attn.wv.weight", (KV, D // gs))
+    wo = qstack("model.layers.%d.attn.wo.weight", (D, Q // gs))
 
     if tf.find("model.layers.%d.attn.wqkv.bias", 0):
         bqkv = stack(lambda l: np.asarray(
@@ -155,15 +172,23 @@ def load_weights(tf: TensorFile, cfg: ModelConfig) -> Weights:
     bq, bk, bv = bqkv[:, :Q], bqkv[:, Q:Q + KV], bqkv[:, Q + KV:]
 
     if E:
-        w1 = stack(lambda l: qget("model.layers.%d.mlp.w1.weight", l, (E, Hd, D // gs)))
-        w2 = stack(lambda l: qget("model.layers.%d.mlp.w2.weight", l, (E, D, Hd // gs)))
-        w3 = stack(lambda l: qget("model.layers.%d.mlp.w3.weight", l, (E, Hd, D // gs)))
-        moegate = QTensor.from_numpy(
-            stack(lambda l: qget("model.layers.%d.moegate.weight", l, (E, D // gs))), fmt)
+        # MoE expert stacks quantize per (layer, expert): scales are (L, E, 1)
+        def qstack_moe(name, shape):
+            data = stack(lambda l: qget(name, l, shape))
+            if fmt != "fp8e4":
+                return QTensor.from_numpy(data, fmt)
+            scale = stack(lambda l: np.asarray(
+                tf.get(name + ".scale", l, np.float32, (E, 1))))
+            return QTensor.from_numpy(data, fmt, scale=scale)
+
+        w1 = qstack_moe("model.layers.%d.mlp.w1.weight", (E, Hd, D // gs))
+        w2 = qstack_moe("model.layers.%d.mlp.w2.weight", (E, D, Hd // gs))
+        w3 = qstack_moe("model.layers.%d.mlp.w3.weight", (E, Hd, D // gs))
+        moegate = qstack("model.layers.%d.moegate.weight", (E, D // gs))
     else:
-        w1 = stack(lambda l: qget("model.layers.%d.mlp.w1.weight", l, (Hd, D // gs)))
-        w2 = stack(lambda l: qget("model.layers.%d.mlp.w2.weight", l, (D, Hd // gs)))
-        w3 = stack(lambda l: qget("model.layers.%d.mlp.w3.weight", l, (Hd, D // gs)))
+        w1 = qstack("model.layers.%d.mlp.w1.weight", (Hd, D // gs))
+        w2 = qstack("model.layers.%d.mlp.w2.weight", (D, Hd // gs))
+        w3 = qstack("model.layers.%d.mlp.w3.weight", (Hd, D // gs))
         moegate = None
 
     if cfg.norm_qk:
@@ -179,16 +204,13 @@ def load_weights(tf: TensorFile, cfg: ModelConfig) -> Weights:
     if tf.find("model.output.weight") is None:
         output = embed  # tied embeddings
     else:
-        output = QTensor.from_numpy(
-            qget("model.output.weight", None, (V, D // gs)), fmt)
+        output = qtensor("model.output.weight", None, (V, D // gs))
 
     layers = LayerWeights(
         attn_norm=jnp.asarray(attn_norm), ffn_norm=jnp.asarray(ffn_norm),
-        wq=QTensor.from_numpy(wq, fmt), wk=QTensor.from_numpy(wk, fmt),
-        wv=QTensor.from_numpy(wv, fmt), wo=QTensor.from_numpy(wo, fmt),
+        wq=wq, wk=wk, wv=wv, wo=wo,
         bq=jnp.asarray(bq), bk=jnp.asarray(bk), bv=jnp.asarray(bv),
-        w1=QTensor.from_numpy(w1, fmt), w2=QTensor.from_numpy(w2, fmt),
-        w3=QTensor.from_numpy(w3, fmt), moegate=moegate,
+        w1=w1, w2=w2, w3=w3, moegate=moegate,
         q_norm=None if q_norm is None else jnp.asarray(q_norm),
         k_norm=None if k_norm is None else jnp.asarray(k_norm))
 
@@ -387,9 +409,9 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
             return out.reshape(B, T, D)
 
     def expert_ffn(lidx, xin):                             # lidx scalar, xin (D,)
-        w1 = QTensor(lw.w1.data[layer, lidx], lw.w1.fmt)
-        w2 = QTensor(lw.w2.data[layer, lidx], lw.w2.fmt)
-        w3 = QTensor(lw.w3.data[layer, lidx], lw.w3.fmt)
+        w1 = lw.w1[layer, lidx]   # QTensor indexing keeps the fp8e4 scale
+        w2 = lw.w2[layer, lidx]
+        w3 = lw.w3[layer, lidx]
         h = _act(cfg, qmatmul(xin, w1)) * qmatmul(xin, w3)
         return qmatmul(h, w2)                              # (D,) partial over tp
 
@@ -680,21 +702,27 @@ def decode_scan_fn(cfg: ModelConfig, w: Weights, token, pos0, cache: KVCache,
 
 
 def prefill_slot_fn(cfg: ModelConfig, w: Weights, tokens, n_valid, slot,
-                    cache: KVCache, plan: ShardingPlan = NO_SHARDING):
+                    cache: KVCache, plan: ShardingPlan = NO_SHARDING,
+                    pos0=None):
     """Prefill ONE batch slot of a shared multi-slot cache (continuous
     batching admission). tokens (1, T) may be right-padded; n_valid (scalar)
     marks the real length. Returns logits after token n_valid-1 (shape (V,))
     and the updated cache.
 
-    Padded positions write garbage KV rows beyond n_valid — harmless: the
-    kv_len mask hides every row until decode reaches and overwrites it.
+    ``pos0`` (traced scalar, default 0) starts the chunk at an offset: the
+    slot's cache rows [0, pos0) must already hold valid KV (prefix-cache
+    admission copies them in) and the chunk attends to them through the
+    carried cache. Padded positions write garbage KV rows beyond
+    pos0+n_valid — harmless: the kv_len mask hides every row until decode
+    reaches and overwrites it.
     """
     ks = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)
     vs = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
     T = tokens.shape[1]
-    pos = jnp.arange(T)[None, :]
+    p0 = jnp.int32(0) if pos0 is None else jnp.asarray(pos0, jnp.int32)
+    pos = p0 + jnp.arange(T)[None, :]
     logits, sub = _forward(cfg, w, tokens, pos, pos,
-                           n_valid[None], KVCache(ks, vs),
+                           (p0 + n_valid)[None], KVCache(ks, vs),
                            rolling=False, logits_mode="all", plan=plan)
     last = jax.lax.dynamic_slice_in_dim(logits[0], n_valid - 1, 1, axis=0)[0]
     k = jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1)

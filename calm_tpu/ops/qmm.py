@@ -27,10 +27,17 @@ GF4_SHIFTS = tuple(8 + 3 * k for k in range(8))
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QTensor:
-    """A quantized 2-D (or stacked N-D) weight with static format tag."""
+    """A quantized 2-D (or stacked N-D) weight with static format tag.
+
+    ``scale`` is the fp8e4 per-tensor dequant scale: a trailing (1,) vector,
+    stacked along the same leading (layer/expert) axes as ``data`` — so
+    plain indexing and layer-index selection apply to both uniformly. The
+    scale is a power of two (quant.fp8e4_quantize), making q * scale exact.
+    """
 
     data: jax.Array
-    fmt: str  # "fp16" | "fp8" | "gf4"
+    fmt: str  # "fp16" | "fp8" | "fp8e4" | "gf4"
+    scale: jax.Array | None = None
 
     @property
     def shape(self):
@@ -41,29 +48,35 @@ class QTensor:
         return s
 
     def __getitem__(self, idx) -> "QTensor":
-        return QTensor(self.data[idx], self.fmt)
+        return QTensor(self.data[idx], self.fmt,
+                       None if self.scale is None else self.scale[idx])
 
     def astype_packed(self):
         return self.data
 
     def tree_flatten(self):
-        return (self.data,), (self.fmt,)
+        return (self.data, self.scale), (self.fmt,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], aux[0])
+        return cls(children[0], aux[0], children[1])
 
     @classmethod
-    def from_numpy(cls, arr: np.ndarray, fmt: str) -> "QTensor":
+    def from_numpy(cls, arr: np.ndarray, fmt: str,
+                   scale: np.ndarray | None = None) -> "QTensor":
         if fmt == "fp16":
             assert arr.dtype == np.float16
         elif fmt == "fp8":
             arr = arr.view(jnp.float8_e5m2.dtype)
+        elif fmt == "fp8e4":
+            arr = arr.view(jnp.float8_e4m3fn.dtype)
+            assert scale is not None
         elif fmt == "gf4":
             assert arr.dtype == np.int32
         else:
             raise ValueError(f"unknown format {fmt!r}")
-        return cls(jnp.asarray(arr), fmt)
+        return cls(jnp.asarray(arr), fmt,
+                   None if scale is None else jnp.asarray(scale, jnp.float32))
 
 
 def gf4_decode_words(words: jax.Array, out_dtype=jnp.float32) -> jax.Array:
@@ -84,7 +97,13 @@ def gf4_decode_words(words: jax.Array, out_dtype=jnp.float32) -> jax.Array:
 def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
     if qt.fmt == "gf4":
         return gf4_decode_words(qt.data, dtype)
-    return qt.data.astype(dtype)
+    w = qt.data.astype(dtype)
+    if qt.scale is not None:
+        # scale is (stack dims..., 1): append axes to broadcast over (d, n)
+        s = qt.scale.reshape(qt.scale.shape[:-1]
+                             + (1,) * (w.ndim - qt.scale.ndim + 1))
+        w = w * s.astype(dtype)
+    return w
 
 
 _USE_PALLAS = False
@@ -138,23 +157,30 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32,
             return out.reshape(*lead, out.shape[-1])
 
     data = qt.data
+    scale = qt.scale
     if layer is not None:
         data = jax.lax.dynamic_index_in_dim(data, layer, 0, keepdims=False)
+        if scale is not None:
+            scale = jax.lax.dynamic_index_in_dim(scale, layer, 0, keepdims=False)
+    # the per-tensor scale multiplies the (small) dot OUTPUT, not the weight
+    # stream: same result (scalar), no widened weight copy to keep fused
     qt = QTensor(data, qt.fmt)
 
     if _USE_PALLAS and out_dtype == jnp.float32:
         w = dequant(qt, jnp.bfloat16)
-        return jax.lax.dot_general(
+        out = jax.lax.dot_general(
             x.astype(jnp.bfloat16), w,
             dimension_numbers=(((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        return out if scale is None else out * scale
     w = dequant(qt, out_dtype)
-    return jax.lax.dot_general(
+    out = jax.lax.dot_general(
         x.astype(out_dtype), w,
         dimension_numbers=(((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
         preferred_element_type=out_dtype,
     )
+    return out if scale is None else out * scale.astype(out_dtype)
 
 
 def embed_lookup(tokens: jax.Array, qt: QTensor, dtype=jnp.float32) -> jax.Array:
@@ -162,4 +188,7 @@ def embed_lookup(tokens: jax.Array, qt: QTensor, dtype=jnp.float32) -> jax.Array
     rows = qt.data[tokens]  # gather packed rows
     if qt.fmt == "gf4":
         return gf4_decode_words(rows, dtype)
-    return rows.astype(dtype)
+    rows = rows.astype(dtype)
+    if qt.scale is not None:
+        rows = rows * qt.scale.astype(dtype)  # per-tensor scalar (1,)
+    return rows

@@ -38,29 +38,31 @@ def weight_pspecs(cfg: ModelConfig, plan: ShardingPlan) -> Weights:
     tp, ep, pp = plan.tp, plan.ep, plan.pp
     fmt = cfg.dtype
 
-    def qt(spec):
-        return QTensor(spec, fmt)
+    def qt(spec, sspec):
+        # fp8e4 per-tensor scales: (stack dims..., 1), replicated across tp
+        # (a scalar per tensor shards with nothing but the stack axes)
+        return QTensor(spec, fmt, sspec if fmt == "fp8e4" else None)
 
     if cfg.n_experts:
-        w13 = qt(P(pp, ep, tp, None))
-        w2 = qt(P(pp, ep, None, tp))
-        moegate = qt(P(pp, None, None))  # replicated: routing is tiny
+        w13 = qt(P(pp, ep, tp, None), P(pp, ep, None))
+        w2 = qt(P(pp, ep, None, tp), P(pp, ep, None))
+        moegate = qt(P(pp, None, None), P(pp, None))  # replicated: routing is tiny
     else:
-        w13 = qt(P(pp, tp, None))
-        w2 = qt(P(pp, None, tp))
+        w13 = qt(P(pp, tp, None), P(pp, None))
+        w2 = qt(P(pp, None, tp), P(pp, None))
         moegate = None
 
     layers = LayerWeights(
         attn_norm=P(pp, None), ffn_norm=P(pp, None),
-        wq=qt(P(pp, tp, None)), wk=qt(P(pp, tp, None)),
-        wv=qt(P(pp, tp, None)), wo=qt(P(pp, None, tp)),
+        wq=qt(P(pp, tp, None), P(pp, None)), wk=qt(P(pp, tp, None), P(pp, None)),
+        wv=qt(P(pp, tp, None), P(pp, None)), wo=qt(P(pp, None, tp), P(pp, None)),
         bq=P(pp, tp), bk=P(pp, tp), bv=P(pp, tp),
         w1=w13, w2=w2, w3=w13, moegate=moegate,
         q_norm=P(pp, tp) if cfg.norm_qk else None,
         k_norm=P(pp, tp) if cfg.norm_qk else None)
 
-    return Weights(embed=qt(P(tp, None)), layers=layers,
-                   final_norm=P(None), output=qt(P(tp, None)))
+    return Weights(embed=qt(P(tp, None), P(None)), layers=layers,
+                   final_norm=P(None), output=qt(P(tp, None), P(None)))
 
 
 def cache_pspecs(plan: ShardingPlan, sp: bool = False) -> KVCache:

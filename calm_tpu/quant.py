@@ -1,4 +1,4 @@
-"""Weight quantization formats: fp16, fp8 (e5m2), gf4.
+"""Weight quantization formats: fp16, fp8 (e5m2), fp8e4 (e4m3 + scale), gf4.
 
 Numpy reference implementations of the container-level quantization math.
 The on-TPU decode paths live in calm_tpu/ops (Pallas kernels); these
@@ -24,6 +24,7 @@ import numpy as np
 import ml_dtypes
 
 FP8 = np.dtype(ml_dtypes.float8_e5m2)
+FP8E4 = np.dtype(ml_dtypes.float8_e4m3fn)
 
 # Shift amount of each of the 8 3-bit fields inside a gf4 word.
 GF4_SHIFTS = np.array([8 + 3 * k for k in range(8)], dtype=np.uint32)
@@ -36,6 +37,26 @@ def fp8_quantize(t: np.ndarray) -> np.ndarray:
 
 def fp8_dequantize(t: np.ndarray) -> np.ndarray:
     return np.asarray(t).view(FP8).astype(np.float32)
+
+
+def fp8e4_quantize(t: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Round to fp8 e4m3fn with a power-of-two per-tensor scale.
+
+    Beyond reference parity: the reference ships e5m2 weights only (2
+    mantissa bits); e4m3 carries 3 but spans just [2^-9, 448], so a
+    per-tensor scale lifts small-magnitude weight tensors out of the
+    subnormal range. The scale is a power of two, so dequantization
+    (q * scale) is EXACT — quality is set purely by the e4m3 rounding.
+    Returns (codes, scale[1]) with max(|t/scale|) <= 448 (no NaN encodes).
+    """
+    t = np.asarray(t, dtype=np.float32)
+    amax = float(np.max(np.abs(t))) if t.size else 0.0
+    s = float(2.0 ** np.ceil(np.log2(amax / 448.0))) if amax > 0 else 1.0
+    return (t / s).astype(FP8E4), np.full((1,), s, np.float32)
+
+
+def fp8e4_dequantize(t: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    return np.asarray(t).view(FP8E4).astype(np.float32) * np.float32(scale.reshape(()))
 
 
 def gf4_quantize(t: np.ndarray) -> np.ndarray:
@@ -79,7 +100,8 @@ def gf4_dequantize(words: np.ndarray) -> np.ndarray:
 
 
 def quantize(t: np.ndarray, dtype: str) -> np.ndarray:
-    """Quantize a float tensor for the container; dtype in {fp16, fp8, gf4}."""
+    """Quantize a float tensor for the container; dtype in {fp16, fp8, gf4}.
+    (fp8e4 carries a side scale — use quantize_scaled.)"""
     if dtype == "fp16":
         return np.asarray(t, dtype=np.float32).astype(np.float16)
     if dtype == "fp8":
@@ -89,15 +111,25 @@ def quantize(t: np.ndarray, dtype: str) -> np.ndarray:
     raise ValueError(f"unknown weight dtype {dtype!r}")
 
 
-def dequantize(t: np.ndarray, dtype: str) -> np.ndarray:
+def quantize_scaled(t: np.ndarray, dtype: str):
+    """Quantize, returning (codes, scale-or-None). The uniform entry point
+    for all four container formats; scale is a (1,)-shaped f32 for fp8e4."""
+    if dtype == "fp8e4":
+        return fp8e4_quantize(t)
+    return quantize(t, dtype), None
+
+
+def dequantize(t: np.ndarray, dtype: str, scale=None) -> np.ndarray:
     if dtype == "fp16":
         return np.asarray(t, dtype=np.float32)
     if dtype == "fp8":
         return fp8_dequantize(t)
+    if dtype == "fp8e4":
+        return fp8e4_dequantize(t, np.ones(1, np.float32) if scale is None else scale)
     if dtype == "gf4":
         return gf4_dequantize(t)
     raise ValueError(f"unknown weight dtype {dtype!r}")
 
 
 def dtype_bits(dtype: str) -> int:
-    return {"fp16": 16, "fp8": 8, "gf4": 4}[dtype]
+    return {"fp16": 16, "fp8": 8, "fp8e4": 8, "gf4": 4}[dtype]

@@ -19,9 +19,11 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from collections import deque
+from collections import OrderedDict, deque
+from functools import partial
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,9 +54,67 @@ class Request:
     text: str = ""
     done: bool = False
     n_generated: int = 0
+    cached_prefix: int = 0  # prompt tokens served from the prefix cache
     submitted_at: float = 0.0
     first_token_at: float = 0.0
     finished_at: float = 0.0
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _read_slot_rows(buf, slot, n):
+    """(L, B, KVH, S, hd) -> the slot's first n cache rows (L, 1, KVH, n, hd)."""
+    L, _, KVH, _, hd = buf.shape
+    return jax.lax.dynamic_slice(buf, (0, slot, 0, 0, 0), (L, 1, KVH, n, hd))
+
+
+@jax.jit
+def _write_slot_rows(buf, rows, slot):
+    return jax.lax.dynamic_update_slice(buf, rows, (0, slot, 0, 0, 0))
+
+
+class PrefixCache:
+    """LRU store of prompt-prefix KV rows (vLLM-style prefix sharing, scoped
+    to whole-prompt prefixes). New scope vs the reference (single-sequence,
+    no server). Entries hold device-resident (k, v) row blocks for token
+    prefixes starting at position 0 — RoPE'd keys are position-absolute, so
+    a prefix block is valid for ANY request whose prompt starts with those
+    tokens. Admission copies the longest hit into the slot and prefills only
+    the suffix."""
+
+    # saved prefixes are truncated to a multiple of this so the jitted
+    # row-copy programs compile for a bounded set of lengths
+    GRAIN = 16
+
+    def __init__(self, capacity_tokens: int = 16384):
+        self.capacity = capacity_tokens
+        self.tokens = 0
+        self.hits = 0
+        self.hit_tokens = 0
+        self._entries: OrderedDict[tuple, tuple] = OrderedDict()
+
+    def match(self, toks) -> tuple[int, tuple | None]:
+        """Longest stored prefix of ``toks``; marks the entry most-recent."""
+        best_len, best_key = 0, None
+        for key in self._entries:
+            n = len(key)
+            if best_len < n <= len(toks) and tuple(toks[:n]) == key:
+                best_len, best_key = n, key
+        if best_key is None:
+            return 0, None
+        self._entries.move_to_end(best_key)
+        self.hits += 1
+        self.hit_tokens += best_len
+        return best_len, self._entries[best_key]
+
+    def put(self, toks, k_rows, v_rows):
+        key = tuple(toks)
+        if key in self._entries:
+            return
+        self._entries[key] = (k_rows, v_rows)
+        self.tokens += len(key)
+        while self.tokens > self.capacity and len(self._entries) > 1:
+            old, _ = self._entries.popitem(last=False)
+            self.tokens -= len(old)
 
 
 @dataclasses.dataclass
@@ -79,7 +139,8 @@ class Server:
 
     def __init__(self, path: str, batch: int = 4, context: int = 0,
                  kv_dtype: str | None = None, device_sampling: bool = False,
-                 seed: int = 42, mesh=None, plan=None):
+                 seed: int = 42, mesh=None, plan=None,
+                 prefix_cache_tokens: int = 0):
         self.engine = Engine(path, context=context, kv_dtype=kv_dtype,
                              batch=batch)
         self.batch = batch
@@ -98,6 +159,11 @@ class Server:
             eng.cache = shard_cache(eng.cache, mesh, plan)
             self._decode_fn = sharded_decode_step(eng.cfg, mesh, plan)
             self._prefill_slot_fn = sharded_prefill_slot(eng.cfg, mesh, plan)
+        # prompt prefix sharing (unsharded only: cached rows are host-managed
+        # device blocks; the sharded cache would need per-shard row copies)
+        self.prefix_cache = (PrefixCache(prefix_cache_tokens)
+                             if prefix_cache_tokens and not self._sharded
+                             else None)
         self.slots = [_Slot() for _ in range(batch)]
         self.pending: deque[Request] = deque()
         self._next_rid = 0
@@ -156,17 +222,42 @@ class Server:
             self._pos[b] = slot.pos
 
             if len(toks) > 1:
-                T = bucket_len(len(toks) - 1, eng.cfg.seq_len)
-                padded = np.zeros((1, T), np.int32)
-                padded[0, : len(toks) - 1] = toks[:-1]
-                if self._sharded:
-                    _, eng.cache = self._prefill_slot_fn(
-                        eng.weights, jnp.asarray(padded),
-                        jnp.int32(len(toks) - 1), jnp.int32(b), eng.cache)
-                else:
-                    _, eng.cache = M.prefill_slot(
-                        eng.cfg, eng.weights, jnp.asarray(padded),
-                        jnp.int32(len(toks) - 1), jnp.int32(b), eng.cache)
+                pre = toks[:-1]
+                hit = 0
+                if self.prefix_cache is not None:
+                    hit, kv = self.prefix_cache.match(pre)
+                    if hit:
+                        # copy the cached rows into the slot BEFORE the
+                        # suffix prefill so the suffix attends to them
+                        eng.cache = M.KVCache(
+                            _write_slot_rows(eng.cache.k, kv[0], jnp.int32(b)),
+                            _write_slot_rows(eng.cache.v, kv[1], jnp.int32(b)))
+                req.cached_prefix = hit
+                suffix = pre[hit:]
+                if suffix:
+                    T = bucket_len(len(suffix), eng.cfg.seq_len)
+                    if hit + T > eng.cfg.seq_len:
+                        T = eng.cfg.seq_len - hit  # keep writes in-window
+                    padded = np.zeros((1, T), np.int32)
+                    padded[0, : len(suffix)] = suffix
+                    if self._sharded:
+                        _, eng.cache = self._prefill_slot_fn(
+                            eng.weights, jnp.asarray(padded),
+                            jnp.int32(len(suffix)), jnp.int32(b), eng.cache)
+                    else:
+                        _, eng.cache = M.prefill_slot(
+                            eng.cfg, eng.weights, jnp.asarray(padded),
+                            jnp.int32(len(suffix)), jnp.int32(b), eng.cache,
+                            pos0=jnp.int32(hit))
+                if self.prefix_cache is not None:
+                    save_n = len(pre) // PrefixCache.GRAIN * PrefixCache.GRAIN
+                    if save_n >= PrefixCache.GRAIN:
+                        key = tuple(pre[:save_n])
+                        if key not in self.prefix_cache._entries:
+                            self.prefix_cache.put(
+                                key,
+                                _read_slot_rows(eng.cache.k, jnp.int32(b), save_n),
+                                _read_slot_rows(eng.cache.v, jnp.int32(b), save_n))
 
     def tick(self):
         """One scheduler tick: admit new requests, one decode step for all."""

@@ -36,6 +36,9 @@ def _fill(shape, fmt: str, seed: int = 0):
     if fmt == "fp8":
         bits = (i & jnp.uint32(0x9F)).astype(jnp.uint8)  # exp <= 7 -> finite, small
         return jax.lax.bitcast_convert_type(bits, jnp.float8_e5m2).reshape(shape)
+    if fmt == "fp8e4":
+        bits = (i & jnp.uint32(0xBF)).astype(jnp.uint8)  # exp <= 7: no NaN (0x7F)
+        return jax.lax.bitcast_convert_type(bits, jnp.float8_e4m3fn).reshape(shape)
     if fmt == "gf4":
         # random 3-bit codes; scale byte masked to small finite fp8
         word = (i & jnp.uint32(0xFFFFFF00)) | (i & jnp.uint32(0x1F))
@@ -60,7 +63,12 @@ def synth_weights(cfg: ModelConfig, seed: int = 0) -> Weights:
         return k[0]
 
     def qt(*shape):
-        return QTensor(_fill(tuple(shape), fmt, nxt()), fmt)
+        data = _fill(tuple(shape), fmt, nxt())
+        # fp8e4 carries a per-tensor dequant scale (unit here — the bench
+        # still pays the real scale-multiply on the hot path)
+        scale = (jnp.ones(tuple(shape[:-2]) + (1,), jnp.float32)
+                 if fmt == "fp8e4" else None)
+        return QTensor(data, fmt, scale)
 
     def f32(*shape):
         return _fill(tuple(shape), "f32", nxt())
@@ -93,7 +101,7 @@ def weight_bytes(cfg: ModelConfig) -> tuple[int, int]:
     the container accounting (reference: src/run.c:523-532): embedding is
     excluded from per-token bandwidth (one row read), MoE mlp scaled to
     active experts. Untied output assumed (synth always has one)."""
-    bits = {"fp16": 16, "fp8": 8, "gf4": 4}[cfg.dtype]
+    bits = {"fp16": 16, "fp8": 8, "fp8e4": 8, "gf4": 4}[cfg.dtype]
     D, Hd, Q, KV, V, E, L = (cfg.dim, cfg.hidden_dim, cfg.q_dim, cfg.kv_dim,
                              cfg.vocab_size, cfg.n_experts, cfg.n_layers)
 

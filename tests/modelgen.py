@@ -44,34 +44,46 @@ def write_tiny_model(path: str, cfg: ModelConfig, seed: int = 0,
         scale = scale if scale is not None else 1.0 / math.sqrt(shape[-1])
         return (rng.standard_normal(shape) * scale).astype(np.float32)
 
-    def q(arr):
-        return quant.quantize(arr, fmt)
-
     t = {}
-    t["model.embed.weight"] = q(rand(V, D, scale=0.4))
+
+    def put(name, arr, per_expert=False):
+        """Quantize into the container; fp8e4 emits a side .scale tensor
+        (per expert for stacked MoE weights, matching the converter)."""
+        if per_expert:
+            qs, ss = zip(*[quant.quantize_scaled(a, fmt) for a in arr])
+            t[name] = np.stack(qs)
+            if ss[0] is not None:
+                t[name + ".scale"] = np.stack(ss)
+        else:
+            qd, s = quant.quantize_scaled(arr, fmt)
+            t[name] = qd
+            if s is not None:
+                t[name + ".scale"] = s
+
+    put("model.embed.weight", rand(V, D, scale=0.4))
     for l in range(L):
         p = f"model.layers.{l}"
         t[f"{p}.attn.norm.weight"] = 1.0 + rand(D, scale=0.05)
-        t[f"{p}.attn.wq.weight"] = q(rand(Q, D))
-        t[f"{p}.attn.wk.weight"] = q(rand(KV, D))
-        t[f"{p}.attn.wv.weight"] = q(rand(KV, D))
-        t[f"{p}.attn.wo.weight"] = q(rand(D, Q))
+        put(f"{p}.attn.wq.weight", rand(Q, D))
+        put(f"{p}.attn.wk.weight", rand(KV, D))
+        put(f"{p}.attn.wv.weight", rand(KV, D))
+        put(f"{p}.attn.wo.weight", rand(D, Q))
         if bias:
             t[f"{p}.attn.wqkv.bias"] = rand(Q + 2 * KV, scale=0.05)
         if not cfg.norm_par:
             t[f"{p}.mlp.norm.weight"] = 1.0 + rand(D, scale=0.05)
         if E:
-            t[f"{p}.moegate.weight"] = q(rand(E, D))
-            t[f"{p}.mlp.w1.weight"] = q(rand(E, Hd, D))
-            t[f"{p}.mlp.w2.weight"] = q(rand(E, D, Hd))
-            t[f"{p}.mlp.w3.weight"] = q(rand(E, Hd, D))
+            put(f"{p}.moegate.weight", rand(E, D))
+            put(f"{p}.mlp.w1.weight", rand(E, Hd, D), per_expert=True)
+            put(f"{p}.mlp.w2.weight", rand(E, D, Hd), per_expert=True)
+            put(f"{p}.mlp.w3.weight", rand(E, Hd, D), per_expert=True)
         else:
-            t[f"{p}.mlp.w1.weight"] = q(rand(Hd, D))
-            t[f"{p}.mlp.w2.weight"] = q(rand(D, Hd))
-            t[f"{p}.mlp.w3.weight"] = q(rand(Hd, D))
+            put(f"{p}.mlp.w1.weight", rand(Hd, D))
+            put(f"{p}.mlp.w2.weight", rand(D, Hd))
+            put(f"{p}.mlp.w3.weight", rand(Hd, D))
     t["model.norm.weight"] = 1.0 + rand(D, scale=0.05)
     if not tied:
-        t["model.output.weight"] = q(rand(V, D, scale=0.4))
+        put("model.output.weight", rand(V, D, scale=0.4))
 
     tokens, scores = byte_vocab(V)
     t["tokenizer.tokens"] = tokens

@@ -58,7 +58,12 @@ class Oracle:
             raw = np.asarray(tf.get(name, layer, None, shape))
             if fmt == "gf4":
                 return quant.gf4_dequantize(raw)
-            return raw.astype(np.float32)
+            vals = raw.astype(np.float32)
+            if fmt == "fp8e4":  # per-tensor scale rides as <name>.scale
+                s = np.asarray(tf.get(name + ".scale", layer, np.float32, None))
+                vals = vals * s.reshape(s.shape[:-1]
+                                        + (1,) * (vals.ndim - s.ndim + 1))
+            return vals
 
         self.embed = deq("model.embed.weight", None, (V, D // gs))
         self.attn_norm = [np.asarray(tf.get("model.layers.%d.attn.norm.weight", l,

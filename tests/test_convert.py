@@ -471,3 +471,37 @@ def test_convert_internlm2(tmp_path):
     got = np.asarray(logits[0], np.float32)
     np.testing.assert_allclose(got, hf_logits, rtol=5e-2, atol=5e-2)
     assert (got.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95
+
+
+def test_convert_fp8e4(tmp_path):
+    """--dtype fp8e4: e4m3 weights + per-tensor power-of-two scales (a
+    format the reference does not ship; its dtype table reserves F8_E4M3,
+    reference src/tensors.c:75-83)."""
+    import torch
+
+    d = tmp_path
+    model = make_hf_checkpoint(d)
+    out = str(d / "model.calm")
+    convert_mod.main([out, str(d), "--dtype", "fp8e4"])
+
+    tf = container.TensorFile(out)
+    cfg = ModelConfig.from_metadata(tf.metadata)
+    assert cfg.dtype == "fp8e4"
+    assert tf.find("model.layers.0.attn.wq.weight.scale") is not None
+
+    tokens = [1, 10, 25, 199, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].numpy()
+
+    import jax.numpy as jnp
+    from calm_tpu import model as M
+    from calm_tpu.engine import Engine
+    eng = Engine(out, context=32, kv_dtype="fp16")
+    logits, _ = M.prefill(eng.cfg, eng.weights,
+                          jnp.asarray([tokens], jnp.int32),
+                          jnp.zeros((1,), jnp.int32), eng.cache,
+                          logits_mode="all")
+    got = np.asarray(logits[0], np.float32)
+    # 8-bit weights: loose elementwise, tight argmax agreement
+    assert (got.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.9
+    np.testing.assert_allclose(got, hf_logits, rtol=0.5, atol=0.5)

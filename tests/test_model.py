@@ -44,7 +44,7 @@ def run_oracle(tf, cfg, tokens):
 TOKENS = [1, 5, 9, 200, 42, 7, 3, 99]
 
 
-@pytest.mark.parametrize("dtype", ["fp16", "fp8", "gf4"])
+@pytest.mark.parametrize("dtype", ["fp16", "fp8", "fp8e4", "gf4"])
 def test_parity_dtypes(tmp_path, dtype):
     cfg = tiny_config(dtype=dtype)
     tf, w = build(tmp_path, cfg)

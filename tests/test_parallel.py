@@ -238,3 +238,24 @@ def test_pp2_ep2_moe_decode(tmp_path):
         logits, cache = step(ws, jnp.array([tok]), jnp.array([pos]), cache)
         out.append(np.asarray(logits[0]))
     np.testing.assert_allclose(np.stack(out), want, rtol=1e-4, atol=1e-4)
+
+
+def test_tp2_fp8e4(tmp_path):
+    """fp8e4 per-tensor scales ride replicated alongside tp-sharded weights;
+    the qk-scaled dot output must match the single-device path exactly."""
+    cfg = tiny_config(dtype="fp8e4")
+    w = build(tmp_path, cfg)
+    assert w.layers.wq.scale is not None
+    want = reference_logits(cfg, w, TOKENS)
+    got = sharded_logits(cfg, w, TOKENS, tp=2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_ep2_fp8e4_moe(tmp_path):
+    """MoE fp8e4: per-(layer, expert) scales shard over ep with the experts."""
+    cfg = tiny_config(dtype="fp8e4", moe=True)
+    w = build(tmp_path, cfg)
+    assert w.layers.w1.scale.shape == (cfg.n_layers, cfg.n_experts, 1)
+    want = reference_logits(cfg, w, TOKENS)
+    got = sharded_logits(cfg, w, TOKENS, ep=2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

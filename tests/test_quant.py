@@ -89,3 +89,42 @@ def test_dtype_bits():
     assert quant.dtype_bits("fp16") == 16
     assert quant.dtype_bits("fp8") == 8
     assert quant.dtype_bits("gf4") == 4
+
+
+def test_fp8e4_scale_power_of_two():
+    """The per-tensor scale is a power of two, so dequantization adds zero
+    rounding on top of the e4m3 codes."""
+    rng = np.random.default_rng(11)
+    w = (rng.standard_normal((64, 64)) * 0.02).astype(np.float32)
+    q, s = quant.fp8e4_quantize(w)
+    assert s.shape == (1,)
+    m, e = np.frexp(float(s[0]))
+    assert m == 0.5  # exact power of two
+    # scaled values stay in the finite e4m3 range: no NaN codes
+    deq = quant.fp8e4_dequantize(q, s)
+    assert np.isfinite(deq).all()
+    assert np.abs(w / s).max() <= 448.0
+
+
+def test_fp8e4_better_than_e5m2():
+    """3 mantissa bits + scale beats e5m2's 2 on small-magnitude weights."""
+    rng = np.random.default_rng(13)
+    w = (rng.standard_normal((256, 256)) * 0.02).astype(np.float32)
+    q4, s4 = quant.fp8e4_quantize(w)
+    err4 = quant.fp8e4_dequantize(q4, s4) - w
+    err5 = quant.fp8_dequantize(quant.fp8_quantize(w)) - w
+    assert np.mean(err4 ** 2) < 0.5 * np.mean(err5 ** 2)
+
+
+def test_quantize_scaled_uniform_api():
+    rng = np.random.default_rng(17)
+    w = rng.standard_normal((16, 16)).astype(np.float32)
+    for fmt in ("fp16", "fp8", "gf4"):
+        q, s = quant.quantize_scaled(w, fmt)
+        assert s is None
+        np.testing.assert_array_equal(q, quant.quantize(w, fmt))
+    q, s = quant.quantize_scaled(w, "fp8e4")
+    assert s is not None
+    np.testing.assert_allclose(quant.dequantize(q, "fp8e4", s),
+                               quant.fp8e4_dequantize(q, s))
+    assert quant.dtype_bits("fp8e4") == 8

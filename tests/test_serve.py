@@ -124,3 +124,57 @@ def test_sharded_server_parity(model_path):
         assert r1.done and r2.done
         outs.append((r1.text, r2.text))
     assert outs[0] == outs[1]
+
+
+def test_prefix_cache_parity(model_path):
+    """Two requests sharing a long system-prompt prefix: the second is
+    admitted from the prefix cache (only the suffix is prefilled) and must
+    generate exactly what a cache-less server generates."""
+    sys_prompt = "You are a helpful assistant. " * 3  # > GRAIN tokens
+    p1 = sys_prompt + "Hello"
+    p2 = sys_prompt + "Goodbye now"
+
+    plain = Server(model_path, batch=1, kv_dtype="fp16")
+    w1 = plain.submit(p1, max_tokens=8, temperature=0.0)
+    plain.run_until_drained()
+    w2 = plain.submit(p2, max_tokens=8, temperature=0.0)
+    plain.run_until_drained()
+
+    srv = Server(model_path, batch=1, kv_dtype="fp16",
+                 prefix_cache_tokens=4096)
+    r1 = srv.submit(p1, max_tokens=8, temperature=0.0)
+    srv.run_until_drained()
+    r2 = srv.submit(p2, max_tokens=8, temperature=0.0)
+    srv.run_until_drained()
+
+    assert r1.cached_prefix == 0          # cold
+    assert r2.cached_prefix >= srv.prefix_cache.GRAIN  # hot: shared prefix
+    assert r1.text == w1.text
+    assert r2.text == w2.text
+    assert srv.prefix_cache.hits == 1
+
+
+def test_prefix_cache_full_prompt_hit(model_path):
+    """Identical prompt resubmitted: the whole prefill is skipped."""
+    prompt = "The quick brown fox jumps over the lazy dog again"
+    srv = Server(model_path, batch=1, kv_dtype="fp16",
+                 prefix_cache_tokens=4096)
+    r1 = srv.submit(prompt, max_tokens=6, temperature=0.0)
+    srv.run_until_drained()
+    r2 = srv.submit(prompt, max_tokens=6, temperature=0.0)
+    srv.run_until_drained()
+    assert r2.cached_prefix > 0
+    assert r2.text == r1.text
+
+
+def test_prefix_cache_eviction(model_path):
+    """Capacity is enforced by LRU eviction in whole entries."""
+    from calm_tpu.serve import PrefixCache
+    pc = PrefixCache(capacity_tokens=64)
+    pc.put(tuple(range(48)), "k1", "v1")
+    pc.put(tuple(range(100, 132)), "k2", "v2")   # 48+32 > 64 -> evict first
+    assert pc.tokens <= 64
+    n, kv = pc.match(list(range(48)))
+    assert n == 0                                 # evicted
+    n, kv = pc.match(list(range(100, 140)))
+    assert n == 32 and kv == ("k2", "v2")

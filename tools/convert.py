@@ -245,20 +245,36 @@ def permute_reverse(w: np.ndarray, heads: int, rotary_dim: int) -> np.ndarray:
     return np.concatenate([wr, wk], axis=1).reshape(shape)
 
 
+class _TensorDict(dict):
+    """Tensor sink that splits quantize_scaled's (codes, scale) pairs into
+    ``name`` + ``name.scale`` container entries (fp8e4's per-tensor scale
+    rides alongside its weight; other formats carry scale None)."""
+
+    def __setitem__(self, k, v):
+        if isinstance(v, tuple):
+            q, s = v
+            super().__setitem__(k, q)
+            if s is not None:
+                super().__setitem__(k + ".scale", s)
+        else:
+            super().__setitem__(k, v)
+
+
 class Converter:
     def __init__(self, dtype: str):
         self.dtype = dtype
-        self.tensors: dict[str, np.ndarray] = {}
+        self.tensors: dict[str, np.ndarray] = _TensorDict()
         self.progress = 0
 
-    def conv(self, a: np.ndarray) -> np.ndarray:
+    def conv(self, a: np.ndarray):
         self.progress += 1
         print(f"\rconverting tensor {self.progress}: {tuple(np.asarray(a).shape)}",
               end="", flush=True)
-        return quant.quantize(to_f32(a), self.dtype)
+        return quant.quantize_scaled(to_f32(a), self.dtype)
 
-    def conv_stack(self, arrs) -> np.ndarray:
-        return np.stack([self.conv(a) for a in arrs])
+    def conv_stack(self, arrs):
+        qs, ss = zip(*[self.conv(a) for a in arrs])
+        return np.stack(qs), (np.stack(ss) if ss[0] is not None else None)
 
 
 def convert_weights(cv: Converter, arch: str, config: dict, md: dict,
@@ -521,7 +537,8 @@ def main(argv=None):
     ap.add_argument("--config")
     ap.add_argument("--tokenizer")
     ap.add_argument("--models", nargs="+")
-    ap.add_argument("--dtype", default="fp8", choices=["fp16", "fp8", "gf4"])
+    ap.add_argument("--dtype", default="fp8",
+                    choices=["fp16", "fp8", "fp8e4", "gf4"])
     ap.add_argument("--pad-vocab", action="store_true",
                     help="round vocab up to a multiple of 128 so embed/"
                          "lm_head shard cleanly over a TPU mesh")

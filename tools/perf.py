@@ -34,7 +34,7 @@ def main(argv=None):
     ap.add_argument("checkpoint", nargs="?")
     ap.add_argument("--synthetic", default=None,
                     help="bench.py shape name instead of a checkpoint")
-    ap.add_argument("--dtype", default="fp8", choices=["fp16", "fp8", "gf4"])
+    ap.add_argument("--dtype", default="fp8", choices=["fp16", "fp8", "fp8e4", "gf4"])
     ap.add_argument("-n", dest="steps", type=int, default=32)
     ap.add_argument("--ctx", type=int, default=4096)
     ap.add_argument("--pos", type=int, default=2000)

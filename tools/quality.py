@@ -30,21 +30,22 @@ def format_snr():
     rng = np.random.default_rng(0)
     print("# format error on N(0, 0.02) weights (typical trained scale):")
     w = (rng.standard_normal((512, 512)) * 0.02).astype(np.float32)
-    for fmt in ("fp16", "fp8", "gf4"):
-        q = quant.quantize(w, fmt)
-        deq = np.asarray(quant_dequant(q, fmt), np.float32)
+    for fmt in ("fp16", "fp8", "fp8e4", "gf4"):
+        q, s = quant.quantize_scaled(w, fmt)
+        deq = np.asarray(quant_dequant(q, fmt, s), np.float32)
         err = deq - w
         snr = 10 * np.log10(np.mean(w * w) / max(np.mean(err * err), 1e-30))
         rel = np.abs(err).max() / np.abs(w).max()
-        bits = {"fp16": 16, "fp8": 8, "gf4": 4}[fmt]
-        print(f"  {fmt:>4} ({bits:2d} bpw): SNR {snr:6.1f} dB, "
+        bits = quant.dtype_bits(fmt)
+        print(f"  {fmt:>5} ({bits:2d} bpw): SNR {snr:6.1f} dB, "
               f"max |err| {rel * 100:5.2f}% of max |w|")
 
 
-def quant_dequant(q: np.ndarray, fmt: str) -> np.ndarray:
+def quant_dequant(q: np.ndarray, fmt: str, scale=None) -> np.ndarray:
     import jax.numpy as jnp
     from calm_tpu.ops.qmm import QTensor, dequant
-    return np.asarray(dequant(QTensor.from_numpy(q, fmt), jnp.float32))
+    return np.asarray(dequant(QTensor.from_numpy(q, fmt, scale=scale),
+                              jnp.float32))
 
 
 def logit_drift(dim: int, layers: int):
@@ -62,7 +63,7 @@ def logit_drift(dim: int, layers: int):
           f"model, 6-token greedy decode vs f32 oracle:")
     tokens = [1, 5, 9, 200, 42, 7]
     with tempfile.TemporaryDirectory() as d:
-        for fmt in ("fp16", "fp8", "gf4"):
+        for fmt in ("fp16", "fp8", "fp8e4", "gf4"):
             kwargs = {}
             if fmt == "gf4":
                 kwargs = dict(dim=64, hidden_dim=64, head_dim=16,

@@ -75,7 +75,7 @@ def report_one(model: str, dtype: str, ctx: int, pos: int, kv_bits: int,
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=sorted(PRESETS), default=None)
-    ap.add_argument("--dtype", choices=["fp16", "fp8", "gf4"], default="fp8")
+    ap.add_argument("--dtype", choices=["fp16", "fp8", "fp8e4", "gf4"], default="fp8")
     ap.add_argument("--ctx", type=int, default=4096)
     ap.add_argument("--pos", type=int, default=None,
                     help="decode position (default ctx-1)")
