@@ -4,9 +4,10 @@ Flag-compatible with the reference CLI (src/run.c:421-490):
   -t temperature   -p min-p   -s seed   -n steps   -r sequences
   -c context       -i prompt (- reads stdin)   -x ppl-file   -y system-prompt
 
-Env hooks (reference: src/run.c:181-187,605-607):
+Env hooks (reference: src/run.c:181-187,503-511,605-607):
   CALM_TOKENS=1  dump prompt token ids
   CALM_POSO=N    offset positions by N (late-context decode profiling)
+  CALM_CPU=1     force the CPU backend (reference's backend override)
 """
 
 from __future__ import annotations
@@ -15,6 +16,12 @@ import argparse
 import os
 import sys
 import time
+
+if os.environ.get("CALM_CPU", "0") == "1":
+    # must run before any jax backend initialization; the TPU tunnel plugin
+    # ignores the JAX_PLATFORMS env var, the config key works everywhere
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 from calm_tpu.container import ContainerError
 from calm_tpu.engine import Engine, chat_loop

@@ -470,6 +470,10 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
     kh = k.transpose(0, 2, 1, 3).astype(kv_dtype)[None]  # (1, B, KVH, T, hd)
     vh = v.transpose(0, 2, 1, 3).astype(kv_dtype)[None]
     boff = jnp.int32(0) if batch_off is None else batch_off
+    # per-slot in-place DUS (kv_pos is contiguous along T). An XLA scatter
+    # formulation (cache.at[layer, b_idx, :, rows].set) was measured at
+    # 645 ms/step vs this loop's 22.5 at B=8 — TPU scatter materializes;
+    # never "batch" these writes through a scatter.
     for b in range(B):
         kc = jax.lax.dynamic_update_slice(
             kc, kh[:, b:b + 1], (layer, boff + b, 0, kv_pos[b, 0], 0))

@@ -174,3 +174,23 @@ def test_shared_weights_same_container(tmp_path):
     write_tiny_model(other, cfg, seed=5)
     c = Engine(other, context=16)
     assert c.weights is not a.weights
+
+
+def test_calm_cpu_env(tmp_path):
+    """CALM_CPU=1 forces the CPU backend (reference run.c:503-511) — checked
+    in a subprocess since backend choice happens at jax init."""
+    import subprocess
+    import sys as _sys
+
+    cfg = tiny_config(dtype="fp16", seq_len=32)
+    path = str(tmp_path / "cpu.calm")
+    write_tiny_model(path, cfg, seed=6)
+    code = (
+        "import os; os.environ['CALM_CPU']='1';"
+        "import calm_tpu.cli as cli, jax;"
+        f"cli.main(['{path}', '-t', '0', '-n', '4', '-i', 'hi']);"
+        "assert jax.default_backend() == 'cpu', jax.default_backend()"
+    )
+    r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
+                       text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
