@@ -273,7 +273,7 @@ def _embed(cfg: ModelConfig, embed: QTensor, tokens, plan: ShardingPlan):
 
 
 def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
-               batch_off=None):
+               batch_off=None, fresh=None):
     """GQA attention over the (possibly rolled) cache — fully head-local
     (cache is sharded over kv-heads under tp, so no collective here).
 
@@ -300,7 +300,7 @@ def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
         from calm_tpu.ops import pallas_attn
         out = pallas_attn.decode_attention(
             qf[:, 0].reshape(B, KVH * M, hd), kc, vc, kv_len, layer,
-            jnp.int32(0) if batch_off is None else batch_off)
+            jnp.int32(0) if batch_off is None else batch_off, fresh=fresh)
         return out.reshape(B, T, H * hd)
 
     k_cache = jax.lax.dynamic_index_in_dim(kc, layer, 0, keepdims=False)
@@ -470,15 +470,21 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
     kh = k.transpose(0, 2, 1, 3).astype(kv_dtype)[None]  # (1, B, KVH, T, hd)
     vh = v.transpose(0, 2, 1, 3).astype(kv_dtype)[None]
     boff = jnp.int32(0) if batch_off is None else batch_off
-    # per-slot in-place DUS (kv_pos is contiguous along T). An XLA scatter
-    # formulation (cache.at[layer, b_idx, :, rows].set) was measured at
-    # 645 ms/step vs this loop's 22.5 at B=8 — TPU scatter materializes;
-    # never "batch" these writes through a scatter.
-    for b in range(B):
-        kc = jax.lax.dynamic_update_slice(
-            kc, kh[:, b:b + 1], (layer, boff + b, 0, kv_pos[b, 0], 0))
-        vc = jax.lax.dynamic_update_slice(
-            vc, vh[:, b:b + 1], (layer, boff + b, 0, kv_pos[b, 0], 0))
+    # Deferred-write decode (pallas path): the fresh rows ride into the
+    # attention kernel directly and _run_layers batches ONE cache write per
+    # step after the scan — the per-layer DUS stream costs 0.64 ms/step at
+    # B=1 and 2.5 at B=8 (measured by no-write ablation).
+    defer = T == 1 and pallas_decode_enabled()
+    if not defer:
+        # per-slot in-place DUS (kv_pos is contiguous along T). An XLA
+        # scatter formulation (cache.at[layer, b_idx, :, rows].set) was
+        # measured at 645 ms/step vs this loop's 22.5 at B=8 — TPU scatter
+        # materializes; never "batch" these writes through a scatter.
+        for b in range(B):
+            kc = jax.lax.dynamic_update_slice(
+                kc, kh[:, b:b + 1], (layer, boff + b, 0, kv_pos[b, 0], 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, vh[:, b:b + 1], (layer, boff + b, 0, kv_pos[b, 0], 0))
 
     if rolling:
         # rotate sink keys forward by one position so their relative RoPE
@@ -513,7 +519,10 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
                                             layer)
         att = att.reshape(B, T, H * hd)
     else:
-        att = _attention(cfg, q, kc, vc, layer, pos, kv_len, batch_off)
+        fresh = ((kh[0, :, :, 0, :], vh[0, :, :, 0, :], kv_pos[:, 0])
+                 if defer else None)
+        att = _attention(cfg, q, kc, vc, layer, pos, kv_len, batch_off,
+                         fresh=fresh)
     x = x + _psum(qmatmul(att, lw.wo, layer=layer),
                   (plan.tp,) if plan.tp else ())
 
@@ -530,7 +539,10 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         ffn = qmatmul(h, lw.w2, layer=layer)
         x = x + _psum(ffn, (plan.tp,) if plan.tp else ())
 
-    return x, kc, vc
+    # deferred mode: hand the fresh rows (B, KVH, hd) up for the post-scan
+    # batched cache write
+    return x, kc, vc, ((kh[0, :, :, 0, :], vh[0, :, :, 0, :])
+                       if defer else None)
 
 
 LAYER_UNROLL = 1  # lax.scan unroll factor over layers. MEASURED on v5e:
@@ -559,16 +571,33 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
 
     def body(carry, layer):
         x, kc, vc = carry
-        x, kc, vc = _layer(cfg, x, w.layers, layer, kc, vc, pos, kv_pos,
-                           kv_len, kv_dtype, rolling, rope, plan, batch_off)
-        return (x, kc, vc), None
+        x, kc, vc, fresh = _layer(cfg, x, w.layers, layer, kc, vc, pos,
+                                  kv_pos, kv_len, kv_dtype, rolling, rope,
+                                  plan, batch_off)
+        return (x, kc, vc), fresh
 
     unroll = min(LAYER_UNROLL, n_layers)
     if n_layers % unroll:
         unroll = 1
-    (x, k_new, v_new), _ = jax.lax.scan(
+    (x, k_new, v_new), fresh = jax.lax.scan(
         body, (x, cache.k, cache.v),
         jnp.arange(n_layers, dtype=jnp.int32), unroll=unroll)
+
+    if fresh is not None:
+        # deferred decode writes: ONE (all-layer) DUS per slot per step
+        # instead of one per slot per layer (0.64 ms/step at B=1, 2.5 at
+        # B=8 reclaimed — measured)
+        fk, fv = fresh  # (L_local, B, KVH, hd) stacked by the scan
+        boff = jnp.int32(0) if batch_off is None else batch_off
+        B = x.shape[0]
+        for b in range(B):
+            rows_k = fk[:, b:b + 1, :, None, :]  # (L, 1, KVH, 1, hd)
+            rows_v = fv[:, b:b + 1, :, None, :]
+            k_new = jax.lax.dynamic_update_slice(
+                k_new, rows_k, (0, boff + b, 0, kv_pos[b, 0], 0))
+            v_new = jax.lax.dynamic_update_slice(
+                v_new, rows_v, (0, boff + b, 0, kv_pos[b, 0], 0))
+
     return x, KVCache(k_new, v_new)
 
 

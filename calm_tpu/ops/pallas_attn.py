@@ -43,27 +43,64 @@ def set_interpret(on: bool):
 
 def _attn_kernel(sref, q_ref, k_ref, v_ref, o_ref,
                  m_ref, l_ref, acc_ref, *, bs: int, scale: float,
-                 kv_fp8: bool, kvh: int):
-    """sref layout: [layer, batch_off, kv_len_0, ..., kv_len_{B-1}].
+                 kv_fp8: bool, kvh: int, n_b: int):
+    _attn_body(sref, q_ref, k_ref, v_ref, None, None, o_ref,
+               m_ref, l_ref, acc_ref, bs=bs, scale=scale, kv_fp8=kv_fp8,
+               kvh=kvh, n_b=n_b)
+
+
+def _attn_kernel_fresh(sref, q_ref, k_ref, v_ref, fk_ref, fv_ref, o_ref,
+                       m_ref, l_ref, acc_ref, *, bs: int, scale: float,
+                       kv_fp8: bool, kvh: int, n_b: int):
+    _attn_body(sref, q_ref, k_ref, v_ref, fk_ref, fv_ref, o_ref,
+               m_ref, l_ref, acc_ref, bs=bs, scale=scale, kv_fp8=kv_fp8,
+               kvh=kvh, n_b=n_b)
+
+
+def _attn_body(sref, q_ref, k_ref, v_ref, fk_ref, fv_ref, o_ref,
+               m_ref, l_ref, acc_ref, *, bs: int, scale: float,
+               kv_fp8: bool, kvh: int, n_b: int):
+    """sref layout: [layer, batch_off, kv_len_0..kv_len_{B-1}
+    (, kv_pos_0..kv_pos_{B-1} in fresh mode)].
     batch_off maps local q row b to cache row batch_off + b (pipeline
     microbatching addresses a slice of the full-B cache). One grid step
-    holds ALL kv-heads' rows of one S-block; heads unroll in-kernel."""
+    holds ALL kv-heads' rows of one S-block; heads unroll in-kernel.
+
+    Fresh mode (fk/fv given): the current token's K/V rows are NOT yet in
+    the cache — the deferred-write decode path batches the cache update
+    outside the layer scan. Their softmax contribution seeds the online
+    state at block 0, and the stale cache row at kv_pos (rolled windows
+    overwrite in place) is masked out."""
     b = pl.program_id(0)
     s = pl.program_id(1)
     n_s = pl.num_programs(1)
 
     kv_len = sref[b + 2]
     block_live = s * bs < kv_len
+    fresh = fk_ref is not None
 
     @pl.when(s == 0)
     def _():
-        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        if fresh:
+            for h in range(kvh):
+                # VPU multiply-reduce: an (M, hd) x (1, hd) MXU dot with a
+                # 1-lane output fails Mosaic verification
+                q = q_ref[0, h].astype(jnp.float32)           # (M, hd)
+                fk = fk_ref[0, h][None].astype(jnp.float32)   # (1, hd)
+                sc = jnp.sum(q * fk, axis=1, keepdims=True) * scale
+                m_ref[h] = sc
+                l_ref[h] = jnp.ones_like(l_ref[h])
+                acc_ref[h] = jnp.broadcast_to(
+                    fv_ref[0, h][None].astype(jnp.float32), acc_ref[h].shape)
+        else:
+            m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
     @pl.when(block_live)
     def _():
         col = None
+        dead_col = sref[b + 2 + n_b] if fresh else None  # stale row (rolled)
         for h in range(kvh):
             q = q_ref[0, h].astype(jnp.bfloat16)     # (M, hd)
             k = k_ref[0, 0, h]                       # (BS, hd) storage dtype
@@ -79,7 +116,10 @@ def _attn_kernel(sref, q_ref, k_ref, v_ref, o_ref,
             if col is None:
                 col = s * bs + jax.lax.broadcasted_iota(
                     jnp.int32, scores.shape, 1)
-            scores = jnp.where(col < kv_len, scores, -jnp.inf)
+            live = col < kv_len
+            if fresh:
+                live = live & (col != dead_col)
+            scores = jnp.where(live, scores, -jnp.inf)
 
             m_prev = m_ref[h]                        # (M, 1)
             m_new = jnp.maximum(m_prev,
@@ -101,7 +141,7 @@ def _attn_kernel(sref, q_ref, k_ref, v_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
-                      interpret: bool):
+                      interpret: bool, fresh=None):
     B, H, hd = q.shape
     _, _, KVH, S, _ = k_cache.shape
     M = H // KVH
@@ -131,14 +171,32 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
     def o_map(b, s, sref):
         return (b, 0, 0, 0)
 
+    in_specs = [
+        pl.BlockSpec((1, KVH, M, hd), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KVH, bs, hd), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KVH, bs, hd), kv_map, memory_space=pltpu.VMEM),
+    ]
+    sref_parts = [layer[None].astype(jnp.int32),
+                  batch_off[None].astype(jnp.int32),
+                  kv_len.astype(jnp.int32)]
+    inputs = [qkv, k_cache, v_cache]
+    if fresh is None:
+        kern = functools.partial(_attn_kernel, bs=bs, scale=scale,
+                                 kv_fp8=kv_fp8, kvh=KVH, n_b=B)
+    else:
+        fk, fv, kv_pos = fresh  # (B, KVH, hd) in cache dtype, (B,) rows
+        f_spec = pl.BlockSpec((1, KVH, hd), lambda b, s, sref: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+        in_specs += [f_spec, f_spec]
+        inputs += [fk, fv]
+        sref_parts.append(kv_pos.astype(jnp.int32))
+        kern = functools.partial(_attn_kernel_fresh, bs=bs, scale=scale,
+                                 kv_fp8=kv_fp8, kvh=KVH, n_b=B)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_s),
-        in_specs=[
-            pl.BlockSpec((1, KVH, M, hd), q_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, KVH, bs, hd), kv_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, KVH, bs, hd), kv_map, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, KVH, M, hd), o_map, memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((KVH, M, 1), jnp.float32),    # running max
@@ -147,32 +205,37 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
         ],
     )
 
-    sref = jnp.concatenate([layer[None].astype(jnp.int32),
-                            batch_off[None].astype(jnp.int32),
-                            kv_len.astype(jnp.int32)])
+    sref = jnp.concatenate(sref_parts)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, bs=bs, scale=scale, kv_fp8=kv_fp8,
-                          kvh=KVH),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, M, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(sref, qkv, k_cache, v_cache)
+    )(sref, *inputs)
     return out.reshape(B, H, hd)
 
 
-def decode_attention(q, k_cache, v_cache, kv_len, layer=None, batch_off=0):
+def decode_attention(q, k_cache, v_cache, kv_len, layer=None, batch_off=0,
+                     fresh=None):
     """q (B, H, hd) f32; caches (L, B_full, KVH, S, hd) with scalar ``layer``
     selecting the plane (or (B, KVH, S, hd) for a single-layer cache);
     local q row b attends cache row batch_off + b; kv_len (B,) ->
-    (B, H, hd)."""
+    (B, H, hd).
+
+    ``fresh`` = (fresh_k (B, KVH, hd) cache-dtype, fresh_v, kv_pos (B,)):
+    deferred-write mode — the current token's rows are supplied directly
+    (NOT read from the cache, whose row kv_pos may hold a stale rolled
+    entry); the caller batches the actual cache write after the layer scan.
+    """
     if k_cache.ndim == 4:
         k_cache, v_cache = k_cache[None], v_cache[None]
         layer = jnp.int32(0)
     return _decode_attention(q, k_cache, v_cache, kv_len,
                              jnp.asarray(layer, jnp.int32),
-                             jnp.asarray(batch_off, jnp.int32), _INTERPRET)
+                             jnp.asarray(batch_off, jnp.int32), _INTERPRET,
+                             fresh=fresh)
 
 
 # ---------------------------------------------------------------------------

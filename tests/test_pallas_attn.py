@@ -140,3 +140,45 @@ def test_prefill_attention_fp8_kv(rng):
                 p = np.exp(scores - scores.max()); p /= p.sum()
                 np.testing.assert_allclose(got[0, t, h, m], p @ v[0, h],
                                            rtol=6e-2, atol=6e-2)
+
+
+def test_deferred_write_decode_parity():
+    """Deferred-KV-write decode (pallas path: fresh rows ride into the
+    kernel, one batched cache write per step) must match the jnp path's
+    logits step-for-step — including across the rolling-window wrap where
+    the fresh row REPLACES a stale cache row in place."""
+    import jax
+    import jax.numpy as jnp
+    from calm_tpu import model as M
+    from calm_tpu.config import ModelConfig
+    from calm_tpu.ops import qmm
+    from calm_tpu.utils.synth import synth_weights
+
+    cfg = ModelConfig(dim=128, hidden_dim=256, head_dim=32, n_layers=2,
+                      n_heads=4, n_kv_heads=2, vocab_size=256, seq_len=16,
+                      rope_theta=10000.0, rotary_dim=32, norm_ln=False,
+                      dtype="fp16")
+    w = synth_weights(cfg)
+    B = 2
+    toks = np.arange(1, 25, dtype=np.int32).reshape(-1, 1)  # 24 > seq_len
+
+    def run():
+        cache = M.KVCache.create(cfg, B, jnp.bfloat16)
+        outs = []
+        for pos in range(toks.shape[0]):
+            logits, cache = M.decode_step_fn(
+                cfg, w, jnp.full((B,), int(toks[pos, 0]), jnp.int32),
+                jnp.full((B,), pos, jnp.int32), cache)
+            outs.append(np.asarray(logits))
+        return np.stack(outs)
+
+    want = run()
+    qmm.enable_pallas(True)
+    try:
+        pallas_attn.set_interpret(True)
+        got = run()
+    finally:
+        qmm.enable_pallas(False)
+        pallas_attn.set_interpret(False)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+    assert (got.argmax(-1) == want.argmax(-1)).mean() > 0.95
