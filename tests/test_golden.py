@@ -24,6 +24,7 @@ TOKENS = [1, 5, 9, 200, 42, 7]
 GOLDEN = {
     "fp16": 0x91cf6ac1,
     "fp8": 0x2c14c43a,
+    "fp8e4": 0x3a2f71bd,
     "gf4": 0x7469835,
     "fp16-moe": 0xa1883c0a,
     "fp16-gelu-ln": 0xeab5715f,
@@ -66,5 +67,6 @@ if __name__ == "__main__":  # regeneration helper
     import sys
     import tempfile
     with tempfile.TemporaryDirectory() as d:
-        for name in ("fp16", "fp8", "gf4", "fp16-moe", "fp16-gelu-ln"):
+        for name in ("fp16", "fp8", "fp8e4", "gf4", "fp16-moe",
+                     "fp16-gelu-ln"):
             print(f'    "{name}": {hex(_hash_for(name, pathlib.Path(d)))},')
