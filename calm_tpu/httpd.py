@@ -1,0 +1,192 @@
+"""Minimal HTTP serving front-end over the continuous-batching Server.
+
+Zero dependencies (stdlib http.server), matching the reference's
+no-dependency philosophy (reference README.md:126) — the reference itself
+has no serving daemon (SURVEY.md §2.3); this is new scope.
+
+    python -m calm_tpu.httpd model.calm --port 8000 --batch 8
+
+Endpoints:
+  GET  /v1/health    -> {"status": "ok", "model": ...}
+  GET  /v1/stats     -> scheduler/prefix-cache counters
+  POST /v1/generate  -> {"prompt", "max_tokens"?, "temperature"?, "min_p"?,
+                         "seed"?, "stream"?}
+     stream=false (default): one JSON body when done
+     stream=true: chunked text/plain pieces as they decode
+
+One scheduler thread owns the device (ticks the batch while any request is
+live); handler threads only enqueue requests and wait on per-request queues.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from calm_tpu.serve import Server
+
+
+class _Scheduler(threading.Thread):
+    """Owns the device: ticks the Server whenever work is pending."""
+
+    def __init__(self, server: Server):
+        super().__init__(daemon=True)
+        self.server = server
+        self.lock = threading.Lock()  # guards submit vs tick
+        self.wake = threading.Event()
+        self.running = True
+
+    def submit(self, prompt: str, **kw):
+        with self.lock:
+            req = self.server.submit(prompt, **kw)
+        self.wake.set()
+        return req
+
+    def run(self):
+        while self.running:
+            with self.lock:
+                busy = (self.server.pending
+                        or any(s.active for s in self.server.slots))
+                if busy:
+                    self.server.tick()
+            if not busy:
+                self.wake.wait(timeout=0.05)
+                self.wake.clear()
+
+    def stop(self):
+        self.running = False
+        self.wake.set()
+
+
+def make_handler(sched: _Scheduler):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/v1/health":
+                self._json(200, {"status": "ok",
+                                 "model": sched.server.engine.banner()})
+            elif self.path == "/v1/stats":
+                srv = sched.server
+                pc = srv.prefix_cache
+                self._json(200, {
+                    "slots": srv.batch,
+                    "active": sum(s.active for s in srv.slots),
+                    "pending": len(srv.pending),
+                    "prefix_cache": (None if pc is None else
+                                     {"entries": len(pc._entries),
+                                      "tokens": pc.tokens,
+                                      "hits": pc.hits,
+                                      "hit_tokens": pc.hit_tokens}),
+                })
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                prompt = body["prompt"]
+            except (ValueError, KeyError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+
+            pieces: queue.Queue = queue.Queue()
+            req = sched.submit(
+                prompt,
+                max_tokens=int(body.get("max_tokens", 128)),
+                temperature=float(body.get("temperature", 1.0)),
+                minp=float(body.get("min_p", 0.1)),
+                seed=int(body.get("seed", 42)),
+                on_piece=pieces.put)
+
+            if body.get("stream"):
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def chunk(data: bytes):
+                    self.wfile.write(f"{len(data):x}\r\n".encode())
+                    self.wfile.write(data + b"\r\n")
+
+                while not req.done or not pieces.empty():
+                    try:
+                        piece = pieces.get(timeout=0.05)
+                    except queue.Empty:
+                        continue
+                    if piece:
+                        chunk(piece.encode())
+                chunk(b"")  # terminator
+                return
+
+            while not req.done:
+                time.sleep(0.01)
+            self._json(200, {
+                "text": req.text,
+                "tokens": req.n_generated,
+                "cached_prefix": req.cached_prefix,
+                "ttft_ms": round(1e3 * (req.first_token_at
+                                        - req.submitted_at), 2),
+                "total_ms": round(1e3 * (req.finished_at
+                                         - req.submitted_at), 2),
+            })
+
+    return Handler
+
+
+def serve_http(server: Server, host: str = "127.0.0.1", port: int = 8000):
+    """Blocking HTTP loop; returns the (httpd, scheduler) pair when used
+    programmatically (tests run it on port 0 in a thread)."""
+    sched = _Scheduler(server)
+    sched.start()
+    httpd = ThreadingHTTPServer((host, port), make_handler(sched))
+    httpd.scheduler = sched
+    return httpd
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="calm_tpu.httpd")
+    ap.add_argument("checkpoint")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("-c", dest="context", type=int, default=0)
+    ap.add_argument("--kv", default=None, choices=["bf16", "fp16", "fp8"])
+    ap.add_argument("--prefix-cache-tokens", type=int, default=0)
+    ap.add_argument("--device-sampling", action="store_true")
+    args = ap.parse_args(argv)
+
+    server = Server(args.checkpoint, batch=args.batch, context=args.context,
+                    kv_dtype=args.kv, device_sampling=args.device_sampling,
+                    prefix_cache_tokens=args.prefix_cache_tokens)
+    print(server.engine.banner())
+    httpd = serve_http(server, args.host, args.port)
+    print(f"# serving on http://{args.host}:{httpd.server_address[1]} "
+          f"({args.batch} slots)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.scheduler.stop()
+
+
+if __name__ == "__main__":
+    main()

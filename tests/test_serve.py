@@ -178,3 +178,49 @@ def test_prefix_cache_eviction(model_path):
     assert n == 0                                 # evicted
     n, kv = pc.match(list(range(100, 140)))
     assert n == 32 and kv == ("k2", "v2")
+
+
+def test_http_server(model_path):
+    """HTTP front-end: health, blocking generate, streaming generate, stats."""
+    import json
+    import threading
+    import urllib.request
+
+    from calm_tpu.httpd import serve_http
+
+    srv = Server(model_path, batch=2, kv_dtype="fp16",
+                 prefix_cache_tokens=1024)
+    httpd = serve_http(srv, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/v1/health", timeout=30) as r:
+            assert json.load(r)["status"] == "ok"
+
+        body = json.dumps({"prompt": "AB", "max_tokens": 6,
+                           "temperature": 0.0}).encode()
+        req = urllib.request.Request(f"{base}/v1/generate", data=body,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        assert out["tokens"] >= 1 and isinstance(out["text"], str)
+        assert out["total_ms"] >= out["ttft_ms"] >= 0
+
+        # streaming: chunked pieces concatenate to the same greedy text
+        body = json.dumps({"prompt": "AB", "max_tokens": 6,
+                           "temperature": 0.0, "stream": True}).encode()
+        req = urllib.request.Request(f"{base}/v1/generate", data=body,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            streamed = r.read().decode()
+        assert streamed == out["text"]
+
+        with urllib.request.urlopen(f"{base}/v1/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert stats["slots"] == 2
+        assert stats["prefix_cache"]["entries"] >= 0
+    finally:
+        httpd.shutdown()
+        httpd.scheduler.stop()
