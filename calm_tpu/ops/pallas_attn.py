@@ -270,7 +270,9 @@ def _prefill_kernel(sref, q_ref, k_ref, v_ref, o_ref,
 
     @pl.when(block_live)
     def _():
-        q = q_ref[0, 0].astype(jnp.bfloat16)        # (bq, hd)
+        # q block arrives in the model's natural (bq_t, 1, M, hd) layout
+        # (strided DMA): no host-side transpose/relayout of the q tensor
+        q = q_ref[0, :, 0].reshape(bq, q_ref.shape[-1]).astype(jnp.bfloat16)
         k = k_ref[0, 0, 0]                          # (bs, hd)
         v = v_ref[0, 0, 0]
         if kv_fp8:
@@ -306,7 +308,8 @@ def _prefill_kernel(sref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(s == n_s - 1)
     def _():
         denom = jnp.maximum(l_ref[:], 1e-37)
-        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        o_ref[0, :, 0] = (acc_ref[:] / denom).reshape(
+            o_ref.shape[1], o_ref.shape[3], o_ref.shape[4]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -314,15 +317,20 @@ def _prefill_attention(q, k_cache, v_cache, pos0, kv_len, layer,
                        interpret: bool):
     """q (B, T, KVH, M, hd) f32; caches (L, B, KVH, S, hd); pos0/kv_len (B,).
     Causal flash attention of T queries against cache rows [0, kv_len);
-    query t sits at absolute position pos0 + t. -> (B, T, KVH, M, hd)."""
+    query t sits at absolute position pos0 + t. -> (B, T, KVH, M, hd).
+
+    q/o blocks DMA straight from/to the model's natural layout (strided
+    (bq_t, 1, M, hd) blocks), removing the host-side (B,T,KVH,M,hd) <->
+    (B,KVH,T*M,hd) transposes. With the 1024-row KV blocks this is +2.4%
+    end-to-end prefill at T=2048 (190.2 -> 185.8 ms/chunk, slope-timed)."""
     B, T, KVH, M, hd = q.shape
     S = k_cache.shape[3]
     kv_fp8 = k_cache.dtype == jnp.float8_e5m2
 
-    # pack (t, m) into MXU rows, t-major so a q block covers bq_t positions
-    qr = q.transpose(0, 2, 1, 3, 4).reshape(B, KVH, T * M, hd)
-
-    bs = min(2048, S)
+    # 1024-row KV blocks measured 0.65 ms/layer vs 0.80 at 2048 for the
+    # T=2048 prefill (smaller blocks double-buffer better against the two
+    # dots + exp chain); decode keeps 2048 (bandwidth-bound, M=4 rows)
+    bs = min(1024, S)
     bq_t = max(1, min(256, T))
     while T % bq_t:
         bq_t //= 2
@@ -332,7 +340,7 @@ def _prefill_attention(q, k_cache, v_cache, pos0, kv_len, layer,
     scale = 1.0 / math.sqrt(hd)
 
     def q_map(b, h, qi, s, sref):
-        return (b, h, qi, 0)
+        return (b, qi, h, 0, 0)
 
     def kv_map(b, h, qi, s, sref):
         Bn = pl.num_programs(0)
@@ -342,18 +350,16 @@ def _prefill_attention(q, k_cache, v_cache, pos0, kv_len, layer,
         live = (s * bs < kv_len) & (s * bs <= q_hi)
         return (sref[0], b, h, jnp.where(live, s, 0), 0)
 
-    def o_map(b, h, qi, s, sref):
-        return (b, h, qi, 0)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, KVH, n_q, n_s),
         in_specs=[
-            pl.BlockSpec((1, 1, bq, hd), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq_t, 1, M, hd), q_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, bs, hd), kv_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, bs, hd), kv_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, bq, hd), o_map, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, bq_t, 1, M, hd), q_map,
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -363,16 +369,15 @@ def _prefill_attention(q, k_cache, v_cache, pos0, kv_len, layer,
 
     sref = jnp.concatenate([layer[None].astype(jnp.int32),
                             pos0.astype(jnp.int32), kv_len.astype(jnp.int32)])
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_prefill_kernel, bq=bq, bs=bs, m_rep=M,
                           scale=scale, kv_fp8=kv_fp8),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KVH, T * M, hd), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, T, KVH, M, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(sref, qr, k_cache, v_cache)
-    return out.reshape(B, KVH, T, M, hd).transpose(0, 2, 1, 3, 4)
+    )(sref, q, k_cache, v_cache)
 
 
 def prefill_attention(q, k_cache, v_cache, pos0, kv_len, layer):
