@@ -273,7 +273,7 @@ def _embed(cfg: ModelConfig, embed: QTensor, tokens, plan: ShardingPlan):
 
 
 def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
-               batch_off=None, fresh=None):
+               batch_off=None, fresh=None, plan: ShardingPlan = NO_SHARDING):
     """GQA attention over the (possibly rolled) cache — fully head-local
     (cache is sharded over kv-heads under tp, so no collective here).
 
@@ -293,10 +293,11 @@ def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
     B, T, H, hd = q.shape
     KVH, S = kc.shape[2], kc.shape[3]
     M = H // KVH
+    sp_decode = plan.sp is not None and T == 1
 
     qf = q.reshape(B, T, KVH, M, hd).astype(jnp.float32)
 
-    if pallas_decode_enabled() and T == 1:
+    if pallas_decode_enabled() and T == 1 and not sp_decode:
         from calm_tpu.ops import pallas_attn
         out = pallas_attn.decode_attention(
             qf[:, 0].reshape(B, KVH * M, hd), kc, vc, kv_len, layer,
@@ -318,13 +319,32 @@ def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
     scores = jnp.einsum("btkmh,bksh->bkmts", qf.astype(cdt), kf,
                         preferred_element_type=jnp.float32) / math.sqrt(hd)
 
-    s_idx = jnp.arange(S)[None, None, :]                       # (1, 1, S)
+    # sp decode: this shard holds cache rows [off, off + S); masks use
+    # GLOBAL row ids and the softmax merges across shards below
+    off = (jax.lax.axis_index(plan.sp) * S) if sp_decode else 0
+    s_glob = cfg.seq_len if sp_decode else S
+
+    s_idx = off + jnp.arange(S)[None, None, :]                 # (1, 1, S)
     valid = s_idx < kv_len[:, None, None]                      # (B, 1, S)
     causal = s_idx <= q_pos[:, :, None]                        # (B, T, S)
-    rolled = (q_pos[:, :, None] >= S)                          # wrap: all valid rows visible
+    rolled = (q_pos[:, :, None] >= s_glob)                     # wrap: all valid rows visible
     mask = valid & (causal | rolled)                           # (B, T, S)
 
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
+    if sp_decode:
+        # partial-softmax merge over the sp axis (flash-decoding style):
+        # each shard contributes (max, sum, numerator); three tiny
+        # collectives reassemble the exact softmax
+        m_loc = jnp.max(scores, axis=-1, keepdims=True)        # (B,KVH,M,T,1)
+        m_glob = jax.lax.pmax(m_loc, plan.sp)
+        p = jnp.exp(scores - m_glob)                           # masked -> 0
+        l_glob = jax.lax.psum(jnp.sum(p, axis=-1, keepdims=True), plan.sp)
+        num = jnp.einsum("bkmts,bksh->btkmh", p.astype(cdt), vf,
+                         preferred_element_type=jnp.float32)
+        num = jax.lax.psum(num, plan.sp)
+        out = num / l_glob.transpose(0, 3, 1, 2, 4)            # (B,T,KVH,M,1)
+        return out.reshape(B, T, H * hd)
+
     att = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkmts,bksh->btkmh", att.astype(cdt), vf,
                      preferred_element_type=jnp.float32)
@@ -474,8 +494,28 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
     # attention kernel directly and _run_layers batches ONE cache write per
     # step after the scan — the per-layer DUS stream costs 0.64 ms/step at
     # B=1 and 2.5 at B=8 (measured by no-write ablation).
-    defer = T == 1 and pallas_decode_enabled()
-    if not defer:
+    sp_decode = plan.sp is not None and T == 1
+    defer = T == 1 and pallas_decode_enabled() and not sp_decode
+    if sp_decode:
+        # cache rows are S-sharded over sp: only the shard owning global
+        # row kv_pos writes it (others rewrite their own current row)
+        S_local = kc.shape[3]
+        off = jax.lax.axis_index(plan.sp) * S_local
+        for b in range(B):
+            wr = kv_pos[b, 0] - off
+            own = (wr >= 0) & (wr < S_local)
+            wrc = jnp.clip(wr, 0, S_local - T)
+            cur_k = jax.lax.dynamic_slice(
+                kc, (layer, boff + b, 0, wrc, 0), (1, 1, KVH, T, hd))
+            cur_v = jax.lax.dynamic_slice(
+                vc, (layer, boff + b, 0, wrc, 0), (1, 1, KVH, T, hd))
+            kc = jax.lax.dynamic_update_slice(
+                kc, jnp.where(own, kh[:, b:b + 1], cur_k),
+                (layer, boff + b, 0, wrc, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, jnp.where(own, vh[:, b:b + 1], cur_v),
+                (layer, boff + b, 0, wrc, 0))
+    elif not defer:
         # per-slot in-place DUS (kv_pos is contiguous along T). An XLA
         # scatter formulation (cache.at[layer, b_idx, :, rows].set) was
         # measured at 645 ms/step vs this loop's 22.5 at B=8 — TPU scatter
@@ -494,6 +534,9 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         sink = sink5[0].transpose(0, 2, 1, 3).astype(jnp.float32)
         rotated = apply_rope(sink, cos1, sin1)
         wrapped = (pos[:, -1] >= cfg.seq_len)[:, None, None, None]
+        if plan.sp is not None:
+            # sinks (global rows 0..KV_SINKS) live in sp shard 0 only
+            wrapped = wrapped & (jax.lax.axis_index(plan.sp) == 0)
         upd = (jnp.where(wrapped, rotated, sink).transpose(0, 2, 1, 3)
                .astype(kv_dtype)[None])
         kc = jax.lax.dynamic_update_slice(kc, upd, (layer, boff, 0, 0, 0))
@@ -522,7 +565,7 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         fresh = ((kh[0, :, :, 0, :], vh[0, :, :, 0, :], kv_pos[:, 0])
                  if defer else None)
         att = _attention(cfg, q, kc, vc, layer, pos, kv_len, batch_off,
-                         fresh=fresh)
+                         fresh=fresh, plan=plan)
     x = x + _psum(qmatmul(att, lw.wo, layer=layer),
                   (plan.tp,) if plan.tp else ())
 

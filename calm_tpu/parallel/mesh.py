@@ -49,12 +49,13 @@ def detect_topology() -> Topology:
     return Topology(len(devs), kind, gb, gbps)
 
 
-def make_mesh(tp: int = 1, ep: int = 1, dp: int = 1, devices=None) -> Mesh:
+def make_mesh(tp: int = 1, ep: int = 1, dp: int = 1, sp: int = 1,
+              devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
-    n = dp * tp * ep
+    n = dp * sp * tp * ep
     assert n <= len(devices), f"need {n} devices, have {len(devices)}"
-    arr = np.asarray(devices[:n]).reshape(dp, ep, tp)
-    return Mesh(arr, ("dp", "ep", "tp"))
+    arr = np.asarray(devices[:n]).reshape(dp, sp, ep, tp)
+    return Mesh(arr, ("dp", "sp", "ep", "tp"))
 
 
 def init_multihost(coordinator: str | None = None,

@@ -15,12 +15,16 @@ Fixed conventions (the "megatron" layout adapted to decode):
 - ``dp``: data/batch axis for continuous batching — sequence slots are
   spread over the axis; the layer code is batch-local so dp needs no
   collectives (logits/cache come back batch-sharded).
-- ``sp``: sequence-parallel prefill — prompt tokens are sharded along T,
-  each shard projects QKV for its chunk, fresh K/V are all-gathered for the
-  causal attention, and each shard writes its chunk's rows of the
-  S-sharded cache. Used for long-context ingestion (pos0 == 0, T == S);
-  decode (T == 1) ignores sp. May name the same mesh axis as dp (data-
-  parallel decode + sequence-parallel prefill on one axis).
+- ``sp``: sequence parallelism over the KV rows. Prefill: prompt tokens are
+  sharded along T, each shard projects QKV for its chunk, fresh K/V are
+  all-gathered for the causal attention, and each shard writes its chunk's
+  rows of the S-sharded cache (long-context ingestion, pos0 == 0, T == S).
+  Decode (T == 1): each shard attends its local cache rows and the exact
+  softmax merges with a (pmax, psum, psum) of the partial (max, sum,
+  numerator) — flash-decoding style; the new row is written by its owning
+  shard. sp decode scales KV capacity/bandwidth with the axis. For
+  prefill-only use sp may name the same mesh axis as dp; sp decode requires
+  a distinct axis (the cache cannot shard the same axis by batch and rows).
 
 Requirements: n_kv_heads % tp == 0, hidden_dim % tp == 0 (with gf4:
 (hidden/tp) % 8 == 0), vocab % tp == 0, n_experts % ep == 0, batch % dp == 0

@@ -98,7 +98,13 @@ def sharded_decode_step(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
     (logits (B, V), cache). Under dp, token/pos/cache/logits are
     batch-sharded (the layer is batch-local: dp adds zero collectives)."""
     wspecs = weight_pspecs(cfg, plan)
-    cspecs = cache_pspecs(plan)
+    if plan.sp is not None:
+        # sequence-parallel decode: cache rows stay S-sharded (as the sp
+        # prefill leaves them); attention merges partial softmax over sp
+        assert plan.sp != plan.dp, "sp decode needs its own mesh axis"
+        cspecs = cache_pspecs(plan, sp=True)
+    else:
+        cspecs = cache_pspecs(plan)
     batch = P(plan.dp)
 
     fn = shard_map(partial(decode_step_fn, cfg, plan=plan), mesh=mesh,

@@ -259,3 +259,85 @@ def test_ep2_fp8e4_moe(tmp_path):
     want = reference_logits(cfg, w, TOKENS)
     got = sharded_logits(cfg, w, TOKENS, ep=2)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_sp_decode_parity(tmp_path):
+    """Sequence-parallel DECODE: cache rows S-sharded over sp, exact softmax
+    reassembled from per-shard partials (flash-decoding style). Decoding
+    across the rolling-window wrap exercises per-shard row ownership and
+    the shard-0-only sink rotation."""
+    cfg = tiny_config(dtype="fp16", seq_len=16)
+    w = build(tmp_path, cfg)
+    toks = list(range(1, 25))  # 24 steps > seq_len: wraps the window
+
+    def reference():
+        cache = M.KVCache.create(cfg, 1, jnp.float16)
+        out = []
+        for pos, tok in enumerate(toks):
+            logits, cache = M.decode_step(cfg, w, jnp.array([tok]),
+                                          jnp.array([pos]), cache)
+            out.append(np.asarray(logits[0]))
+        return np.stack(out)
+
+    def sharded(tp, sp):
+        from calm_tpu.parallel.sharding import (_tree_shardings, cache_pspecs,
+                                                shard_cache)
+        plan = ShardingPlan(tp="tp" if tp > 1 else None, sp="sp")
+        mesh = make_mesh(tp=tp, sp=sp)
+        ws = shard_weights(w, cfg, mesh, plan)
+        cache = jax.device_put(
+            M.KVCache.create(cfg, 1, jnp.float16),
+            _tree_shardings(mesh, cache_pspecs(plan, sp=True)))
+        step = sharded_decode_step(cfg, mesh, plan)
+        out = []
+        for pos, tok in enumerate(toks):
+            logits, cache = step(ws, jnp.array([tok]), jnp.array([pos]),
+                                 cache)
+            out.append(np.asarray(logits[0]))
+        return np.stack(out)
+
+    want = reference()
+    np.testing.assert_allclose(sharded(tp=1, sp=4), want,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(sharded(tp=2, sp=2), want,
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sp_prefill_then_sp_decode(tmp_path):
+    """Long-context flow: sp prefill ingests the full window, then decode
+    continues on the SAME S-sharded cache (rolls immediately)."""
+    from calm_tpu.parallel.sharding import (_tree_shardings, cache_pspecs,
+                                            sharded_prefill_sp)
+
+    cfg = tiny_config(dtype="fp16", seq_len=16)
+    w = build(tmp_path, cfg)
+    prompt = jnp.asarray([[1, 5, 9, 200, 42, 7, 3, 11,
+                           8, 2, 250, 17, 33, 4, 99, 6]], jnp.int32)
+
+    # reference: plain prefill + decode steps
+    cache = M.KVCache.create(cfg, 1, jnp.float16)
+    _, cache = M.prefill(cfg, w, prompt, jnp.zeros((1,), jnp.int32), cache)
+    want = []
+    tok = 12
+    for i in range(4):
+        logits, cache = M.decode_step(cfg, w, jnp.array([tok]),
+                                      jnp.array([16 + i]), cache)
+        want.append(np.asarray(logits[0]))
+
+    plan = ShardingPlan(sp="sp")
+    mesh = make_mesh(sp=4)
+    ws = shard_weights(w, cfg, mesh, plan)
+    sp_cache = jax.device_put(
+        M.KVCache.create(cfg, 1, jnp.float16),
+        _tree_shardings(mesh, cache_pspecs(plan, sp=True)))
+    spf = sharded_prefill_sp(cfg, mesh, plan)
+    _, sp_cache = spf(ws, prompt, sp_cache)
+
+    step = sharded_decode_step(cfg, mesh, plan)
+    got = []
+    for i in range(4):
+        logits, sp_cache = step(ws, jnp.array([tok]), jnp.array([16 + i]),
+                                sp_cache)
+        got.append(np.asarray(logits[0]))
+    np.testing.assert_allclose(np.stack(got), np.stack(want),
+                               rtol=1e-4, atol=1e-4)
