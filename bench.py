@@ -122,6 +122,12 @@ def main(argv=None):
     print(f"# chip: {topo.device_kind} (SoL {topo.hbm_gbps_per_chip} GB/s); "
           f"model {args.model} {args.dtype} ({total_bytes / 2**30:.1f} GiB)",
           file=sys.stderr)
+    if topo.device_kind == "TPU v5 lite":
+        # a pure-DMA Pallas kernel measures 645-695 GB/s on this chip
+        # (docs/PERF_NOTES.md) — the physically attainable ceiling; the
+        # headline metric stays relative to nominal like the reference's
+        print(f"# vs measured-attainable ceiling (~690 GB/s): "
+              f"{100.0 * gb_s / 690.0:.1f}%", file=sys.stderr)
 
     # reference sustains ~92% of peak HBM bandwidth on this metric (BASELINE.md)
     print(json.dumps({
