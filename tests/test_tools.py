@@ -63,3 +63,12 @@ def test_pplx_corpus_exists():
     text = open(path).read()
     assert len(text) > 4000  # a real corpus, not a stub
     assert "bandwidth" in text
+
+
+def test_sol_scaling_report(capsys):
+    import importlib
+    sol = importlib.import_module("sol")
+    sol.main(["--scaling"])
+    out = capsys.readouterr().out
+    assert "scaling efficiency" in out and "tp=8" in out
+    assert "BASELINE target" in out

@@ -72,6 +72,61 @@ def report_one(model: str, dtype: str, ctx: int, pos: int, kv_bits: int,
             print(f"    {name:<14} {b / 1e6:9.2f} MB/tok ({100 * b / total:4.1f}%)")
 
 
+# published aggregate inter-chip bandwidth per chip, GB/s (one direction).
+# ICI: within a slice; DCN: the per-host data-center link for multi-slice.
+ICI_GBPS = {"TPU v5e": 200.0, "TPU v5p": 600.0, "TPU v6e": 450.0}
+DCN_GBPS = 25.0   # ~200 Gbit/s NIC per host, conservative
+COLL_LAT_US = {"ici": 2.0, "dcn": 25.0}  # per-collective launch+hop latency
+
+
+def scaling_report(model: str, dtype: str, ctx: int, pos: int, kv_bits: int,
+                   chip: str):
+    """Analytic decode scaling over tp (ICI) and a 2-host dp/ep split (DCN).
+
+    This environment has one physical chip, so multi-chip efficiency is
+    MODELED, not measured: per-chip time = max(local bytes / HBM bw, flops)
+    plus per-layer collective cost 2 * psum(activation) with the latency
+    term dominating at decode sizes. The BASELINE north star (>=80%
+    tokens/s scaling efficiency to 2 hosts on gf4 Mixtral) is evaluated
+    under this model; real-slice numbers must replace it when hardware is
+    available (docs/ROADMAP.md).
+    """
+    cfg = make_cfg(model, dtype, ctx)
+    topo = topo_for(chip)
+    r1 = roofline(cfg, kv_bits, pos, topo)
+    t1 = r1.sol_ms_per_token
+    act_bytes = cfg.dim * 4  # f32 activation row psummed per residual close
+    print(f"# analytic decode scaling — {model} {dtype} ctx={ctx} on {chip}"
+          f" (1-chip SoL {1000.0 / t1:.1f} tok/s)")
+
+    for n in (2, 4, 8):
+        # tp over ICI: weights+kv shard n ways; 2 psums per layer
+        coll = 2 * cfg.n_layers * (
+            COLL_LAT_US["ici"] / 1e3
+            + act_bytes * (n - 1) / n / (ICI_GBPS[chip] * 1e6))
+        tn = t1 / n + coll
+        eff = t1 / (n * tn) * 100.0
+        print(f"  tp={n} (ICI): {1000.0 / tn:7.1f} tok/s/stream, "
+              f"scaling efficiency {eff:5.1f}%")
+
+    # 2 hosts over DCN: dp (independent streams — embarrassingly parallel,
+    # aggregate tokens/s doubles) and ep for MoE (routing psum crosses DCN)
+    if cfg.n_experts:
+        coll = cfg.n_layers * (COLL_LAT_US["dcn"] / 1e3
+                               + act_bytes / (DCN_GBPS * 1e6))
+        # ep=2: each host holds E/2 experts; active-expert bytes per host
+        # halve only when both active experts land on one host — worst case
+        # keeps all active bytes local-bound, best case halves; use E/2
+        t2 = t1 / 2 + coll
+        eff = t1 / (2 * t2) * 100.0
+        tgt = "meets" if eff >= 80.0 else "MISSES"
+        print(f"  ep=2 x 1 host each (DCN): {1000.0 / t2:7.1f} tok/s/stream, "
+              f"efficiency {eff:5.1f}% — {tgt} the >=80% BASELINE target "
+              f"(analytic)")
+    print(f"  dp=2 hosts (DCN): 2x aggregate tokens/s at unchanged latency "
+          f"(no per-layer collectives; efficiency ~100%)")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=sorted(PRESETS), default=None)
@@ -84,6 +139,8 @@ def main(argv=None):
                     default=None)
     ap.add_argument("--sweep-ctx", action="store_true",
                     help="sweep context 2k..128k for one model/chip")
+    ap.add_argument("--scaling", action="store_true",
+                    help="analytic tp/ep/dp scaling-efficiency report")
     ap.add_argument("-v", "--verbose", action="store_true",
                     help="per-stage byte breakdown")
     args = ap.parse_args(argv)
@@ -91,6 +148,12 @@ def main(argv=None):
     pos = args.pos if args.pos is not None else args.ctx - 1
     chips = [args.chip] if args.chip else ["TPU v5e", "TPU v5p", "TPU v6e"]
     models = [args.model] if args.model else sorted(PRESETS)
+
+    if args.scaling:
+        scaling_report(args.model or "mixtral8x7b",
+                       args.dtype if args.model else "gf4",
+                       args.ctx, pos, args.kv_bits, args.chip or "TPU v5e")
+        return
 
     if args.sweep_ctx:
         model = args.model or "mistral7b"
