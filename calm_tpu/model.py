@@ -755,19 +755,37 @@ def prefill_sp_fn(cfg: ModelConfig, w: Weights, tokens, cache: KVCache,
                     rolling=False, logits_mode="all", plan=plan)
 
 
+def greedy_next(logits, plan: ShardingPlan = NO_SHARDING):
+    """Global argmax over (possibly vocab-sharded) logits (B, V_local).
+
+    Under tp each shard holds a vocab slice: the winner is resolved with a
+    pmax on the max value and a pmin on the matching global index (first-
+    occurrence tie-break, same as jnp.argmax)."""
+    if plan.tp is None:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    v_local = logits.shape[-1]
+    loc_idx = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    loc_val = jnp.max(logits, axis=-1)
+    g_val = jax.lax.pmax(loc_val, plan.tp)
+    off = jax.lax.axis_index(plan.tp) * v_local
+    cand = jnp.where(loc_val == g_val, off + loc_idx, jnp.int32(2 ** 30))
+    return jax.lax.pmin(cand, plan.tp).astype(jnp.int32)
+
+
 def decode_scan_fn(cfg: ModelConfig, w: Weights, token, pos0, cache: KVCache,
                    n_steps: int, plan: ShardingPlan = NO_SHARDING):
     """Greedy-decode n_steps tokens entirely on device.
 
     One compiled program produces N tokens — the TPU counterpart of the
     reference's one-cooperative-launch-per-token design taken further: zero
-    host round-trips inside the loop. Returns (tokens (B, N), cache,
+    host round-trips inside the loop. Runs sharded too (the greedy argmax
+    resolves across vocab shards). Returns (tokens (B, N), cache,
     last-step logits (B, V) for the determinism fingerprint).
     """
     def body(carry, _):
         tok, pos, cache, _ = carry
         logits, cache = decode_step_fn(cfg, w, tok, pos, cache, plan)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = greedy_next(logits, plan)
         return (nxt, pos + 1, cache, logits), nxt
 
     V = w.output.shape[0]

@@ -9,7 +9,8 @@ from calm_tpu.parallel.mesh import Topology, detect_topology, make_mesh  # noqa:
 from calm_tpu.parallel.plan import NO_SHARDING, ShardingPlan  # noqa: F401
 
 _LAZY = ("weight_pspecs", "cache_pspecs", "shard_weights", "shard_cache",
-         "sharded_decode_step", "sharded_prefill", "sharded_prefill_slot",
+         "sharded_decode_step", "sharded_decode_scan", "sharded_prefill",
+         "sharded_prefill_slot",
          "sharded_prefill_sp")
 _LAZY_PIPE = ("sharded_decode_step_pp", "make_pp_mesh")
 

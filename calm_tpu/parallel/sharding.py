@@ -114,6 +114,29 @@ def sharded_decode_step(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
     return jax.jit(fn, donate_argnums=(3,))
 
 
+def sharded_decode_scan(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
+                        n_steps: int):
+    """Build the jitted multi-chip greedy decode scan: (w, token, pos0,
+    cache) -> (tokens (B, n_steps), cache, last logits). One device program
+    produces n_steps tokens on the whole mesh — no host round trips between
+    tokens (the sharded counterpart of model.decode_scan)."""
+    from calm_tpu.model import decode_scan_fn
+    wspecs = weight_pspecs(cfg, plan)
+    if plan.sp is not None:
+        assert plan.sp != plan.dp, "sp decode needs its own mesh axis"
+        cspecs = cache_pspecs(plan, sp=True)
+    else:
+        cspecs = cache_pspecs(plan)
+    batch = P(plan.dp)
+
+    fn = shard_map(partial(decode_scan_fn, cfg, n_steps=n_steps, plan=plan),
+                   mesh=mesh,
+                   in_specs=(wspecs, batch, batch, cspecs),
+                   out_specs=(P(plan.dp, None), cspecs, P(plan.dp, plan.tp)),
+                   check_vma=False)
+    return jax.jit(fn, donate_argnums=(3,))
+
+
 def sharded_prefill_slot(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
     """Build the jitted single-slot prefill for continuous batching on a
     sharded model: (w, tokens (1, T), n_valid, slot, cache) ->

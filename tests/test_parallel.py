@@ -341,3 +341,30 @@ def test_sp_prefill_then_sp_decode(tmp_path):
         got.append(np.asarray(logits[0]))
     np.testing.assert_allclose(np.stack(got), np.stack(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_decode_scan(tmp_path):
+    """Multi-token greedy decode in ONE sharded device program: the global
+    argmax resolves across vocab shards (tp) and tokens match the
+    step-at-a-time sharded path and the unsharded scan."""
+    from calm_tpu.parallel.sharding import sharded_decode_scan
+
+    cfg = tiny_config(dtype="fp16")
+    w = build(tmp_path, cfg)
+    N = 8
+
+    cache = M.KVCache.create(cfg, 1, jnp.float16)
+    want_toks, _, want_logits = M.decode_scan(cfg, w, jnp.array([7]),
+                                              jnp.array([0]), cache, N)
+
+    plan = ShardingPlan(tp="tp")
+    mesh = make_mesh(tp=2)
+    ws = shard_weights(w, cfg, mesh, plan)
+    from calm_tpu.parallel.sharding import shard_cache
+    sc = shard_cache(M.KVCache.create(cfg, 1, jnp.float16), mesh, plan)
+    scan = sharded_decode_scan(cfg, mesh, plan, N)
+    got_toks, _, got_logits = scan(ws, jnp.array([7]), jnp.array([0]), sc)
+
+    np.testing.assert_array_equal(np.asarray(got_toks), np.asarray(want_toks))
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(want_logits),
+                               rtol=1e-4, atol=1e-4)
