@@ -72,6 +72,10 @@ def main(argv=None):
         print(f"failed to load {args.checkpoint}: {e}", file=sys.stderr)
         raise SystemExit(1)
     print(engine.banner())
+    import jax
+    dev = jax.devices()[0]
+    print(f"# device: {dev.device_kind} x{jax.device_count()} "
+          f"({jax.default_backend()})")  # device banner (src/infer.cu:82-85)
 
     pos_offset = int(os.environ.get("CALM_POSO", "0"))
     steps = args.steps if args.steps != 0 else engine.cfg.seq_len

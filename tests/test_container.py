@@ -160,3 +160,41 @@ def test_config_seq_len_clamp():
     assert ModelConfig.from_metadata(md, context=8192).seq_len == 8192
     md["max_seq_len"] = "2048"
     assert ModelConfig.from_metadata(md).seq_len == 2048      # model max kept
+
+
+def test_parser_mutation_fuzz(tmp_path):
+    """Python-side mini-fuzz (complements the ASan'd C++ fuzzer): random
+    byte mutations of a valid container must either parse or raise
+    ContainerError — never crash, never mis-load."""
+    import random
+
+    from calm_tpu.container import ContainerError, TensorFile, write_tensors
+
+    path = str(tmp_path / "seed.calm")
+    write_tensors(path, {"a": np.arange(64, dtype=np.float32).reshape(8, 8),
+                         "b.scale": np.ones(1, np.float32)},
+                  {"arch": "llama", "dim": "8"})
+    seed = open(path, "rb").read()
+
+    rng = random.Random(1234)
+    for _ in range(3000):
+        buf = bytearray(seed)
+        for _ in range(rng.randint(1, 8)):
+            op = rng.random()
+            if op < 0.6:
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            elif op < 0.8 and len(buf) > 16:
+                del buf[rng.randrange(len(buf) - 8):][:rng.randint(1, 64)]
+            else:
+                pos = rng.randrange(len(buf))
+                buf[pos:pos] = bytes(rng.randrange(256)
+                                     for _ in range(rng.randint(1, 16)))
+        p = str(tmp_path / "mut.calm")
+        with open(p, "wb") as f:
+            f.write(buf)
+        try:
+            tf = TensorFile(p)
+            for name in tf.names():
+                np.asarray(tf.get(name)).sum()  # touch every byte
+        except ContainerError:
+            pass  # rejected cleanly
