@@ -86,8 +86,12 @@ def main(argv=None):
                          "weight stream amortizes across slots)")
     args = ap.parse_args(argv)
 
+    import os
+
     from calm_tpu.ops import qmm
     qmm.enable_pallas(jax.default_backend() == "tpu")
+    if os.environ.get("CALM_PRECISE", "0") == "1":
+        qmm.enable_precise(True)
 
     topo = detect_topology()
     shape = dict(SHAPES[args.model])

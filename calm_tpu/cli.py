@@ -56,6 +56,9 @@ def main(argv=None):
                          "decoding (output identical to -t 0, just faster)")
     ap.add_argument("--gamma", type=int, default=4,
                     help="speculation depth (tokens drafted per round)")
+    ap.add_argument("--precise", action="store_true",
+                    help="f32-grade matvec accumulation (Precision.HIGHEST "
+                         "multi-pass MXU dots); also CALM_PRECISE=1")
     args = ap.parse_args(argv)
 
     seed = args.seed if args.seed > 0 else int(time.time())
@@ -64,7 +67,9 @@ def main(argv=None):
         prompt = sys.stdin.read()
 
     try:
-        engine = Engine(args.checkpoint, context=args.context, kv_dtype=args.kv)
+        precise = args.precise or os.environ.get("CALM_PRECISE", "0") == "1"
+        engine = Engine(args.checkpoint, context=args.context,
+                        kv_dtype=args.kv, precise=precise)
     except (FileNotFoundError, IsADirectoryError) as e:
         print(f"failed to open {args.checkpoint}: {e}", file=sys.stderr)
         raise SystemExit(1)

@@ -71,10 +71,13 @@ _WEIGHTS_CACHE: "weakref.WeakValueDictionary[tuple, M.Weights]" = (
 
 class Engine:
     def __init__(self, path: str, context: int = 0,
-                 kv_dtype: str | None = None, batch: int = 1):
+                 kv_dtype: str | None = None, batch: int = 1,
+                 precise: bool = False):
         import jax
         from calm_tpu.ops import qmm as _qmm
         _qmm.enable_pallas(jax.default_backend() == "tpu")
+        if precise:  # f32-grade matvecs (multi-pass MXU), see qmm.enable_precise
+            _qmm.enable_precise(True)
 
         self.tf = TensorFile(path)
         self.cfg = ModelConfig.from_metadata(self.tf.metadata, context)

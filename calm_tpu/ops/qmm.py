@@ -107,6 +107,7 @@ def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
 
 
 _USE_PALLAS = False
+_PRECISE = False
 
 
 def enable_pallas(on: bool = True):
@@ -115,6 +116,17 @@ def enable_pallas(on: bool = True):
     TPU; the jnp path below stays as the reference and the prefill path."""
     global _USE_PALLAS
     _USE_PALLAS = on
+
+
+def enable_precise(on: bool = True):
+    """Quality mode: run the fast-path dots at Precision.HIGHEST (XLA's
+    multi-pass bf16 algorithm — f32-grade accumulation on the MXU) instead
+    of single-pass bf16 operands. Matters for fp16 containers, whose 10
+    mantissa bits are truncated to bf16's 7 on the default path; decode
+    stays HBM-bound so the extra MXU passes are largely hidden.
+    (CALM_PRECISE=1 in the CLI.)"""
+    global _PRECISE
+    _PRECISE = on
 
 
 def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32,
@@ -143,7 +155,8 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32,
     The precise path (f32 dequant + f32 dot) remains the default off-TPU and
     is the numerical reference for tests.
     """
-    if (_USE_PALLAS and out_dtype == jnp.float32 and qt.fmt == "gf4"
+    if (_USE_PALLAS and not _PRECISE and out_dtype == jnp.float32
+            and qt.fmt == "gf4"
             and (layer is not None) == (qt.data.ndim == 3)):
         from calm_tpu.ops import pallas_qmm
         if pallas_qmm.supported(x.shape, qt.data, qt.fmt):
@@ -167,12 +180,21 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32,
     qt = QTensor(data, qt.fmt)
 
     if _USE_PALLAS and out_dtype == jnp.float32:
-        w = dequant(qt, jnp.bfloat16)
-        out = jax.lax.dot_general(
-            x.astype(jnp.bfloat16), w,
-            dimension_numbers=(((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if _PRECISE:
+            w = dequant(qt, jnp.float32)
+            out = jax.lax.dot_general(
+                x.astype(jnp.float32), w,
+                dimension_numbers=(((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            w = dequant(qt, jnp.bfloat16)
+            out = jax.lax.dot_general(
+                x.astype(jnp.bfloat16), w,
+                dimension_numbers=(((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         return out if scale is None else out * scale
     w = dequant(qt, out_dtype)
     out = jax.lax.dot_general(

@@ -128,3 +128,32 @@ def test_quantize_scaled_uniform_api():
     np.testing.assert_allclose(quant.dequantize(q, "fp8e4", s),
                                quant.fp8e4_dequantize(q, s))
     assert quant.dtype_bits("fp8e4") == 8
+
+
+def test_precise_mode_matches_f32():
+    """Precision.HIGHEST fast-path dots reproduce the f32 reference exactly
+    where the default TPU path (bf16 operands) deviates."""
+    import jax
+    import jax.numpy as jnp
+
+    from calm_tpu.ops import qmm
+    from calm_tpu.ops.qmm import QTensor, qmatmul
+
+    rng = np.random.default_rng(3)
+    w16 = (rng.standard_normal((128, 256)) * 0.05).astype(np.float16)
+    x = jnp.asarray(rng.standard_normal((2, 256)) * 0.3, jnp.float32)
+    qt = QTensor.from_numpy(w16, "fp16")
+
+    want = np.asarray(qmatmul(x, qt))  # default path: f32 reference off-TPU
+
+    qmm.enable_pallas(True)  # engages the bf16 fast path on any backend
+    try:
+        fast = np.asarray(qmatmul(x, qt))
+        qmm.enable_precise(True)
+        precise = np.asarray(qmatmul(x, qt))
+    finally:
+        qmm.enable_precise(False)
+        qmm.enable_pallas(False)
+
+    assert not np.allclose(fast, want, rtol=1e-6, atol=1e-6)  # bf16 deviates
+    np.testing.assert_allclose(precise, want, rtol=1e-6, atol=1e-6)
