@@ -36,6 +36,10 @@ SHAPES = {
                       n_heads=32, n_kv_heads=8, vocab_size=128256),
     "llama2-7b": dict(dim=4096, hidden_dim=11008, head_dim=128, n_layers=32,
                       n_heads=32, n_kv_heads=32, vocab_size=32000),
+    # 13B fp8 (~12.2 GiB) fits the 16 GiB chip with --kv fp8 (the MHA cache
+    # at 4096 ctx is 3.3 GiB in bf16, 1.7 in fp8)
+    "llama2-13b": dict(dim=5120, hidden_dim=13824, head_dim=128, n_layers=40,
+                       n_heads=40, n_kv_heads=40, vocab_size=32000),
     "mixtral8x7b": dict(dim=4096, hidden_dim=14336, head_dim=128, n_layers=32,
                         n_heads=32, n_kv_heads=8, vocab_size=32000,
                         n_experts=8, n_experts_ac=2),

@@ -202,8 +202,8 @@ def qmm_decode(x: jax.Array, wdata: jax.Array, fmt: str,
 
 def _moe_kernel(sref, x_ref, w_ref, o_ref, *, fmt: str):
     wf = _dequant_tile(w_ref[0, 0], fmt)  # (TD, N)
-    o_ref[:] = jax.lax.dot_general(
-        x_ref[:].astype(jnp.bfloat16), wf,
+    o_ref[0] = jax.lax.dot_general(
+        x_ref[0].astype(jnp.bfloat16), wf,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
@@ -221,7 +221,7 @@ def _moe_gf4_kernel(sref, xp_ref, w_ref, o_ref):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
-    o_ref[:] = acc
+    o_ref[0] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "interpret"))
@@ -257,13 +257,16 @@ def _qmm_moe(x, wstack, layer, eidx, fmt: str, interpret: bool):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, td, np8), w_map, memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, td), lambda b, i, s: (b, i),
+            # (B, 1, d) keeps the block's last-two dims (1, td) legal for
+            # Mosaic at any B (a 2-D (1, td) block over (B, d) only lowers
+            # when B == 1)
+            out_specs=pl.BlockSpec((1, 1, td), lambda b, i, s: (b, 0, i),
                                    memory_space=pltpu.VMEM))
         return pl.pallas_call(
             _moe_gf4_kernel, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, 1, d), jnp.float32),
             compiler_params=_VMEM_PARAMS, interpret=interpret,
-        )(sref, xp, wstack)
+        )(sref, xp, wstack).reshape(B, d)
 
     if fmt == "fp16":
         wstack = jax.lax.bitcast_convert_type(wstack, jnp.uint16)
@@ -271,17 +274,19 @@ def _qmm_moe(x, wstack, layer, eidx, fmt: str, interpret: bool):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid,
         in_specs=[
-            pl.BlockSpec((1, x.shape[1]), lambda b, i, s: (b, 0),
+            # x rides as (B, 1, n) for the same last-two-dims rule as the
+            # output (a (1, n) block over (B, n) only lowers when B == 1)
+            pl.BlockSpec((1, 1, x.shape[1]), lambda b, i, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, td, n_packed), w_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, td), lambda b, i, s: (b, i),
+        out_specs=pl.BlockSpec((1, 1, td), lambda b, i, s: (b, 0, i),
                                memory_space=pltpu.VMEM))
     return pl.pallas_call(
         functools.partial(_moe_kernel, fmt=fmt), grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 1, d), jnp.float32),
         compiler_params=_VMEM_PARAMS, interpret=interpret,
-    )(sref, x.astype(jnp.float32), wstack)
+    )(sref, x.astype(jnp.float32)[:, None], wstack).reshape(B, d)
 
 
 def qmm_moe(x: jax.Array, wstack: jax.Array, eidx: jax.Array, fmt: str,
@@ -301,7 +306,7 @@ def moe_supported(x_shape, wstack, fmt: str) -> bool:
     if wstack.ndim not in (3, 4):
         return False
     n = wstack.shape[-1] * (8 if fmt == "gf4" else 1)
-    if x_shape[-1] != n or wstack.shape[-1] % 128 != 0:
+    if x_shape[-1] != n:
         return False
     rows = 1
     for s in x_shape[:-1]:
@@ -323,7 +328,8 @@ def supported(x_shape, wdata, fmt: str) -> bool:
     n = wdata.shape[-1] * (8 if fmt == "gf4" else 1)
     if x_shape[-1] != n:
         return False
-    # lane alignment of the packed minor axis
-    if wdata.shape[-1] % 128 != 0:
-        return False
+    # NOTE: the packed minor axis need NOT be lane-aligned — Mosaic masks
+    # partial lanes (verified on hw; an earlier %128 gate here silently sent
+    # w2 of models with hidden_dim/8 not divisible by 128 — llama2's
+    # 11008/13824 — to the XLA unpack path at ~66 GB/s)
     return rows <= 16

@@ -62,8 +62,22 @@ def test_supported_predicate(rng):
     assert pallas_qmm.supported((1, 256), qt.data, "fp8")
     assert not pallas_qmm.supported((64, 256), qt.data, "fp8")   # big batch
     assert not pallas_qmm.supported((1, 255), qt.data, "fp8")    # dim mismatch
+    # unaligned packed minor axis is fine (Mosaic masks partial lanes);
+    # gating on %128 sent llama2-geometry gf4 w2 to the slow XLA path
     qt2, _ = make_qt(rng, 64, 192, "fp8")
-    assert not pallas_qmm.supported((1, 192), qt2.data, "fp8")   # 192 lanes unaligned
+    assert pallas_qmm.supported((1, 192), qt2.data, "fp8")
+
+
+def test_unaligned_packed_minor_gf4(rng):
+    """hidden_dim/8 not a multiple of 128 (llama2: 11008/8=1376) must ride
+    the Pallas path and match the reference; regression for the %128 gate."""
+    d, n = 128, 8 * 192  # n_packed = 192
+    qt, _ = make_qt(rng, d, n, "gf4")
+    x = rng.standard_normal((1, n)).astype(np.float32)
+    want = np.asarray(qmm.qmatmul(jnp.asarray(x), qt))
+    assert pallas_qmm.supported((1, n), qt.data, "gf4")
+    got = np.asarray(pallas_qmm.qmm_decode(jnp.asarray(x), qt.data, "gf4"))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
 
 
 @pytest.mark.parametrize("fmt", ["fp16", "fp8", "gf4"])
