@@ -59,6 +59,10 @@ def main(argv=None):
     ap.add_argument("--precise", action="store_true",
                     help="f32-grade matvec accumulation (Precision.HIGHEST "
                          "multi-pass MXU dots); also CALM_PRECISE=1")
+    ap.add_argument("--reference-sampling", action="store_true",
+                    help="per-token host sampling with the reference's "
+                         "bit-compatible xorshift64* stream (src/sampler.c) "
+                         "instead of the chunked on-device sampler")
     args = ap.parse_args(argv)
 
     seed = args.seed if args.seed > 0 else int(time.time())
@@ -104,7 +108,8 @@ def main(argv=None):
               f"({dt:.2f} sec, {n / dt:.2f} tok/s)")
     elif args.system is not None:
         chat_loop(engine, args.system, prompt,
-                  temperature=args.temperature, minp=args.minp, seed=seed)
+                  temperature=args.temperature, minp=args.minp, seed=seed,
+                  reference_sampling=args.reference_sampling)
     elif args.draft:
         from calm_tpu.speculative import speculative_generate
         draft = Engine(args.draft, context=args.context, kv_dtype=args.kv)
@@ -128,6 +133,7 @@ def main(argv=None):
             stats = engine.generate(
                 prompt or "", steps, temperature=args.temperature,
                 minp=args.minp, seed=seed, pos_offset=pos_offset, echo=True,
+                reference_sampling=args.reference_sampling,
                 on_piece=lambda s: print(s, end="", flush=True))
             print()
             print(stats.perf_line(), file=sys.stderr)

@@ -76,8 +76,9 @@ class Engine:
         import jax
         from calm_tpu.ops import qmm as _qmm
         _qmm.enable_pallas(jax.default_backend() == "tpu")
-        if precise:  # f32-grade matvecs (multi-pass MXU), see qmm.enable_precise
-            _qmm.enable_precise(True)
+        # set unconditionally: a later Engine(precise=False) in the same
+        # process must turn the sticky module flag back off
+        _qmm.enable_precise(precise)
 
         self.tf = TensorFile(path)
         self.cfg = ModelConfig.from_metadata(self.tf.metadata, context)
@@ -163,9 +164,18 @@ class Engine:
     def generate(self, prompt: str = "", steps: int = 256, *,
                  temperature: float = 1.0, minp: float = 0.1, seed: int = 42,
                  pos_offset: int = 0, echo: bool = False,
+                 reference_sampling: bool = False,
                  on_piece: Callable[[str], None] | None = None) -> GenStats:
         """Decode one sequence; mirrors the reference loop (src/run.c:167-256):
-        prompt tokens forced, stop on bos/eos/eot, perf accounting per token."""
+        prompt tokens forced, stop on bos/eos/eot, perf accounting per token.
+
+        Sampling (temperature > 0) runs ON DEVICE by default: chunks of
+        CHUNK tokens decode in one compiled program with min-p sampling
+        inside the scan (calm_tpu.sampler.device_sample), matching the
+        reference's one-launch-per-token contract for every mode
+        (src/run.c:209). The device path draws from the JAX counter PRNG;
+        ``reference_sampling=True`` restores the per-token host loop with
+        the bit-compatible xorshift64* stream (src/sampler.c:7-17)."""
         tok = self.tokenizer
         sampler = Sampler(self.cfg.vocab_size, seed, temperature, minp)
         prompt_tokens = tok.encode(prompt, bos=True)
@@ -202,34 +212,52 @@ class Engine:
         n_generated = 0
         stops = (tok.bos_id, tok.eos_id, tok.eot_id)
         greedy = temperature == 0.0 or minp >= 1.0
+        device_loop = greedy or not reference_sampling
 
-        if greedy:
-            # greedy fast path: decode CHUNK tokens per compiled program
-            # (zero host round-trips inside; stop tokens checked per chunk —
-            # cache rows past a stop hold garbage but stay masked until
-            # overwritten at those positions)
+        if device_loop:
+            # fast path for EVERY sampling mode: decode CHUNK tokens per
+            # compiled program (greedy argmax or on-device min-p sampling
+            # inside the scan; zero host round-trips inside; stop tokens
+            # checked per chunk — cache rows past a stop hold garbage but
+            # stay masked until overwritten at those positions)
             CHUNK = 16
+            if not greedy:
+                import jax
+                key = jax.random.PRNGKey(seed)
+                temps = jnp.full((1,), temperature, jnp.float32)
+                minps = jnp.full((1,), minp, jnp.float32)
             stopped = False
             while not stopped and (pos < steps or steps < 0):
                 n = CHUNK if steps < 0 else max(1, min(CHUNK, steps - pos))
-                toks_d, self.cache, logits_d = M.decode_scan(
-                    self.cfg, self.weights, jnp.array([token], jnp.int32),
-                    jnp.array([pos + pos_offset], jnp.int32), self.cache, n)
+                if greedy:
+                    toks_d, self.cache, logits_d = M.decode_scan(
+                        self.cfg, self.weights, jnp.array([token], jnp.int32),
+                        jnp.array([pos + pos_offset], jnp.int32),
+                        self.cache, n)
+                else:
+                    key, sub = jax.random.split(key)
+                    toks_d, self.cache, logits_d = M.decode_scan_sampled(
+                        self.cfg, self.weights, jnp.array([token], jnp.int32),
+                        jnp.array([pos + pos_offset], jnp.int32),
+                        self.cache, n, sub, temps, minps)
                 chunk_toks = np.asarray(toks_d[0])
-                logits_last = np.asarray(logits_d[0], np.float32)
-                for nxt in chunk_toks:
+                for i, nxt in enumerate(chunk_toks):
                     read_bytes += self.n_bandwidth
                     read_bytes += kv_cache_bytes(self.cfg, self.kv_bits,
                                                  pos + pos_offset)
                     pos += 1
                     n_generated += 1
+                    last_step = i
                     if int(nxt) in stops:
                         stopped = True
                         break
                     emit(tok.decode_piece(token, int(nxt)))
                     token = int(nxt)
+                # fingerprint at the exact position decoded last (a stop
+                # token mid-chunk must not hash a later step's logits)
+                logits_last = np.asarray(logits_d[last_step, 0], np.float32)
 
-        while not greedy and (pos < steps or steps < 0):
+        while not device_loop and (pos < steps or steps < 0):
             logits = self.step(token, pos + pos_offset)
             read_bytes += self.n_bandwidth
             read_bytes += kv_cache_bytes(self.cfg, self.kv_bits, pos + pos_offset)
@@ -328,12 +356,26 @@ def chat_template(tokenizer: Tokenizer, has_system: bool) -> str:
 
 def chat_loop(engine: Engine, system_prompt: str = "", cli_prompt: str | None = None,
               *, temperature: float = 1.0, minp: float = 0.1, seed: int = 42,
+              reference_sampling: bool = False,
               read_line: Callable[[], str] = input,
               write: Callable[[str], None] = lambda s: print(s, end="", flush=True),
               max_turns: int | None = None):
-    """Interactive chat (reference: src/run.c:349-419). Testable via injected IO."""
+    """Interactive chat (reference: src/run.c:349-419). Testable via injected IO.
+
+    Decodes in on-device chunks by default (min-p sampling inside the scan,
+    same fast path as Engine.generate); tokens decoded past the stop are
+    discarded — their cache rows are overwritten when the next turn's
+    prefill reaches those positions. ``reference_sampling=True`` restores
+    the per-token host loop with the xorshift64* stream."""
+    import jax
+
     tok = engine.tokenizer
     sampler = Sampler(engine.cfg.vocab_size, seed, temperature, minp)
+    device_loop = not reference_sampling
+    key = jax.random.PRNGKey(seed)
+    temps = jnp.full((1,), temperature, jnp.float32)
+    minps = jnp.full((1,), minp, jnp.float32)
+    CHUNK = 16
     pos = 0
     turns = 0
     while max_turns is None or turns < max_turns:
@@ -355,13 +397,24 @@ def chat_loop(engine: Engine, system_prompt: str = "", cli_prompt: str | None = 
             engine.prefill_tokens(prompt_tokens[:-1], pos)
         pos += len(prompt_tokens) - 1
         token = prompt_tokens[-1]
-        while True:
-            logits = engine.step(token, pos)
-            pos += 1
-            nxt = sampler.sample(logits)
-            if nxt in (tok.eos_id, tok.eot_id):
-                write("\n\n")
-                break
-            write(tok.decode_piece(token, nxt).decode("utf-8", errors="replace"))
-            token = nxt
+        stopped = False
+        while not stopped:
+            if device_loop:
+                key, sub = jax.random.split(key)
+                toks_d, engine.cache, _ = M.decode_scan_sampled(
+                    engine.cfg, engine.weights, jnp.array([token], jnp.int32),
+                    jnp.array([pos], jnp.int32), engine.cache, CHUNK,
+                    sub, temps, minps)
+                chunk = [int(t) for t in np.asarray(toks_d[0])]
+            else:
+                chunk = [sampler.sample(engine.step(token, pos))]
+            for nxt in chunk:
+                pos += 1
+                if nxt in (tok.eos_id, tok.eot_id):
+                    write("\n\n")
+                    stopped = True
+                    break
+                write(tok.decode_piece(token, nxt).decode("utf-8",
+                                                          errors="replace"))
+                token = nxt
         turns += 1

@@ -403,9 +403,11 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
     else:
         off = 0
 
-    # decode fast path: expert-indexed Pallas matvecs stream exactly the
-    # active experts' packed bytes (the vmap formulation below lowers to an
-    # XLA gather that copies each expert weight — 3x the HBM traffic)
+    # decode fast path: dense unique-expert sweep — each ACTIVE expert's
+    # packed bytes stream exactly once per layer regardless of how many
+    # rows routed to it (the per-row formulation re-read a shared expert's
+    # tile per row: ~4x redundant HBM traffic at B=8 top-2; an XLA gather
+    # formulation copies whole expert weights — 3x traffic)
     B, T, D = xb2.shape
     if pallas_decode_enabled():
         from calm_tpu.ops import pallas_qmm
@@ -413,19 +415,48 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
                 and pallas_qmm.moe_supported(
                     (B * T, lw.w2.data.shape[-1] * (8 if lw.w2.fmt == "gf4" else 1)),
                     lw.w2.data, lw.w2.fmt)):
-            xf = xb2.reshape(B * T, D).astype(jnp.float32)
-            out = jnp.zeros((B * T, D), jnp.float32)
-            for a in range(cfg.n_experts_ac):
-                e = top_idx[..., a].reshape(B * T)
-                lid = jnp.clip(e - off, 0, e_local - 1)
-                ok = ((e - off >= 0) & (e - off < e_local)).astype(jnp.float32)
-                h = (_act(cfg, pallas_qmm.qmm_moe(xf, lw.w1.data, lid,
-                                                  lw.w1.fmt, layer))
-                     * pallas_qmm.qmm_moe(xf, lw.w3.data, lid, lw.w3.fmt,
-                                          layer))
-                o = pallas_qmm.qmm_moe(h, lw.w2.data, lid, lw.w2.fmt, layer)
-                w_a = moe_w[..., a].reshape(B * T)
-                out = out + o * (w_a * ok)[:, None]
+            R = B * T * cfg.n_experts_ac
+            A = min(cfg.n_experts, R)     # expert slots (static)
+            flat = top_idx.reshape(R)
+            # sorted unique ids, compacted to the front, padded by repeating
+            # the LAST unique value (adjacent equal ids keep the same weight
+            # block index -> padding costs no extra DMA)
+            s = jnp.sort(flat)
+            firsts = jnp.concatenate(
+                [jnp.ones((1,), bool), s[1:] != s[:-1]])
+            order = jnp.argsort(jnp.logical_not(firsts), stable=True)
+            su = s[order]                 # uniques first, still sorted
+            cnt = jnp.sum(firsts.astype(jnp.int32))
+            pad = su[jnp.clip(cnt - 1, 0, R - 1)]
+            slot_live = jnp.arange(A) < cnt
+            uniq = jnp.where(slot_live, su[:A], pad)   # global expert ids
+            # ep: this shard evaluates only its resident experts; non-local
+            # slots read the first local slot's tile (one extra re-read at
+            # worst) and are masked out of the combine
+            lid_raw = uniq - off
+            islocal = slot_live & (lid_raw >= 0) & (lid_raw < e_local)
+            fill = jnp.clip(lid_raw[jnp.argmax(islocal)], 0, e_local - 1)
+            lid = jnp.where(islocal, jnp.clip(lid_raw, 0, e_local - 1),
+                            jnp.where(jnp.any(islocal), fill, 0))
+
+            xf = xb2.reshape(1, B * T, D).astype(jnp.float32)
+            y1 = pallas_qmm.qmm_moe_dense(xf, lw.w1.data, lid, lw.w1.fmt,
+                                          layer)          # (A, BT, H)
+            y3 = pallas_qmm.qmm_moe_dense(xf, lw.w3.data, lid, lw.w3.fmt,
+                                          layer)
+            h = _act(cfg, y1) * y3                        # (A, BT, H)
+            z = pallas_qmm.qmm_moe_dense(h, lw.w2.data, lid, lw.w2.fmt,
+                                         layer)           # (A, BT, D)
+            # combine: row bt takes slot a with its gate weight iff routed
+            # there and the slot is a live local expert (padded/duplicate
+            # slots contribute zero — no double counting)
+            eq = (top_idx.reshape(B * T, cfg.n_experts_ac)[:, :, None]
+                  == uniq[None, None, :])                 # (BT, K, A)
+            wmat = jnp.sum(
+                moe_w.reshape(B * T, cfg.n_experts_ac)[:, :, None]
+                * eq.astype(jnp.float32), axis=1)
+            wmat = wmat * islocal[None, :].astype(jnp.float32)  # (BT, A)
+            out = jnp.einsum("ba,abd->bd", wmat, z)
             return out.reshape(B, T, D)
 
     def expert_ffn(lidx, xin):                             # lidx scalar, xin (D,)
@@ -780,18 +811,18 @@ def decode_scan_fn(cfg: ModelConfig, w: Weights, token, pos0, cache: KVCache,
     reference's one-cooperative-launch-per-token design taken further: zero
     host round-trips inside the loop. Runs sharded too (the greedy argmax
     resolves across vocab shards). Returns (tokens (B, N), cache,
-    last-step logits (B, V) for the determinism fingerprint).
+    per-step logits (N, B, V) so the determinism fingerprint
+    (src/run.c:242-253) can be taken at the exact stop position even when a
+    stop token lands mid-chunk).
     """
     def body(carry, _):
-        tok, pos, cache, _ = carry
+        tok, pos, cache = carry
         logits, cache = decode_step_fn(cfg, w, tok, pos, cache, plan)
         nxt = greedy_next(logits, plan)
-        return (nxt, pos + 1, cache, logits), nxt
+        return (nxt, pos + 1, cache), (nxt, logits)
 
-    V = w.output.shape[0]
-    logits0 = jnp.zeros((token.shape[0], V), jnp.float32)
-    (_, _, cache, logits), toks = jax.lax.scan(
-        body, (token, pos0, cache, logits0), None, length=n_steps)
+    (_, _, cache), (toks, logits) = jax.lax.scan(
+        body, (token, pos0, cache), None, length=n_steps)
     return toks.T, cache, logits
 
 

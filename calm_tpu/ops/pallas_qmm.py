@@ -144,7 +144,11 @@ def _qmm(x, wdata, layer, fmt: str, interpret: bool):
     if fmt == "gf4":
         np8 = n_packed  # = N/8
         # pre-permute x so plane k aligns with xp[:, k, :] (see kernel doc)
-        xp = x.astype(jnp.float32).reshape(B, np8, 8).transpose(0, 2, 1)
+        import os as _os
+        if _os.environ.get("CALM_GF4_XP") == "skip":  # ABLATION ONLY: wrong math
+            xp = x.astype(jnp.float32).reshape(B, 8, np8)
+        else:
+            xp = x.astype(jnp.float32).reshape(B, np8, 8).transpose(0, 2, 1)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[
@@ -196,28 +200,28 @@ def qmm_decode(x: jax.Array, wdata: jax.Array, fmt: str,
 
 
 # ---------------------------------------------------------------------------
-# expert-indexed matvec for MoE decode
+# expert-indexed matvecs for MoE decode
 # ---------------------------------------------------------------------------
 
 
-def _moe_kernel(sref, x_ref, w_ref, o_ref, *, fmt: str):
+def _moe_dense_kernel(sref, x_ref, w_ref, o_ref, *, fmt: str):
     wf = _dequant_tile(w_ref[0, 0], fmt)  # (TD, N)
-    o_ref[0] = jax.lax.dot_general(
+    o_ref[0] = jax.lax.dot_general(      # x block: (1, B, N), Ax via the map
         x_ref[0].astype(jnp.bfloat16), wf,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
-def _moe_gf4_kernel(sref, xp_ref, w_ref, o_ref):
+def _moe_dense_gf4_kernel(sref, xp_ref, w_ref, o_ref):
     wu = pltpu.bitcast(w_ref[0, 0], jnp.uint32)  # (TD, N/8)
     sf = pltpu.bitcast(((wu & 0x80) << 24) | ((wu & 0x7F) << 21), jnp.float32)
     scale = sf * (-0.25 * _REBIAS)
     acc = None
     for k in range(8):
         codes = ((wu >> (8 + 3 * k)) & 7).astype(jnp.int32).astype(jnp.float32)
-        plane = ((codes - 4.0) * scale).astype(jnp.bfloat16)
+        plane = ((codes - 4.0) * scale).astype(jnp.bfloat16)  # (TD, N/8)
         d = jax.lax.dot_general(
-            xp_ref[0, k][None].astype(jnp.bfloat16), plane,
+            xp_ref[0, :, k, :].astype(jnp.bfloat16), plane,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
@@ -225,79 +229,92 @@ def _moe_gf4_kernel(sref, xp_ref, w_ref, o_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("fmt", "interpret"))
-def _qmm_moe(x, wstack, layer, eidx, fmt: str, interpret: bool):
-    """Rows of x dot their OWN expert's weight, selected without a gather.
+def _qmm_moe_dense(x, wstack, layer, eidx, fmt: str, interpret: bool):
+    """Dense expert sweep: Y[a] = x[min(a, Ax-1)] @ W[layer, eidx[a]]^T.
 
-    x (B, n); wstack (L, E, d, n_packed); eidx (B,) int32 expert per row ->
-    (B, d). Layer AND expert indices ride in the scalar-prefetch operand
-    (sref = [layer, e_0..e_{B-1}]) and feed the weight BlockSpec's index
-    map, so each row streams exactly its expert's packed bytes from HBM —
-    no expert-weight copy (the XLA gather the vmap formulation lowers to
-    costs 3x the traffic). This is the decode analogue of the reference
-    gathering only active experts on-chip (src/infer.cu:597-620).
+    x (Ax, B, n) with Ax in {1, A} (stage 1 shares one activation set across
+    experts; stage 2 feeds each expert slot its own h rows); wstack
+    (L, E, d, n_packed); eidx (A,) int32 — SORTED unique expert ids padded
+    by repeating the last valid id -> (A, B, d).
+
+    This is the batched-MoE dedup: the grid is (tiles, expert-slots) with
+    slots innermost, so each active expert's packed tile streams HBM->VMEM
+    exactly once per tile row (adjacent equal eidx entries keep the same
+    weight-block index and Pallas skips the re-DMA). The per-row variant
+    this replaces re-read an expert's bytes for every row routed to it —
+    at B=8 top-2 over 4 experts that was ~4x redundant traffic (measured
+    106 ms/step, a full expert sweep per step). Rows not routed to slot a
+    are masked by the caller (weights matrix), like the reference's on-chip
+    gather of only active experts (src/infer.cu:597-620).
     """
-    B = x.shape[0]
+    Ax, B, n = x.shape
     L, E, d, n_packed = wstack.shape
+    A = eidx.shape[0]
     packed_bytes = {"fp16": 2, "fp8": 1, "gf4": 4}[fmt]
     td = _pick_tile(d, n_packed * packed_bytes)
-    grid = (B, pl.cdiv(d, td))
+    grid = (pl.cdiv(d, td), A)
     sref = jnp.concatenate([layer.astype(jnp.int32)[None],
                             eidx.astype(jnp.int32)])
 
-    def w_map(b, i, sref):
-        return (sref[0], sref[b + 1], i, 0)
+    def w_map(i, a, sref):
+        return (sref[0], sref[a + 1], i, 0)
+
+    def o_map(i, a, sref):
+        return (a, 0, i)
 
     if fmt == "gf4":
         np8 = n_packed
-        xp = x.astype(jnp.float32).reshape(B, np8, 8).transpose(0, 2, 1)
+        xp = x.astype(jnp.float32).reshape(Ax, B, np8, 8).transpose(0, 1, 3, 2)
+
+        def x_map(i, a, sref):
+            return (a if Ax > 1 else 0, 0, 0, 0)
+
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 8, np8), lambda b, i, s: (b, 0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B, 8, np8), x_map, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, td, np8), w_map, memory_space=pltpu.VMEM),
             ],
-            # (B, 1, d) keeps the block's last-two dims (1, td) legal for
-            # Mosaic at any B (a 2-D (1, td) block over (B, d) only lowers
-            # when B == 1)
-            out_specs=pl.BlockSpec((1, 1, td), lambda b, i, s: (b, 0, i),
+            out_specs=pl.BlockSpec((1, B, td), o_map,
                                    memory_space=pltpu.VMEM))
         return pl.pallas_call(
-            _moe_gf4_kernel, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((B, 1, d), jnp.float32),
+            _moe_dense_gf4_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((A, B, d), jnp.float32),
             compiler_params=_VMEM_PARAMS, interpret=interpret,
-        )(sref, xp, wstack).reshape(B, d)
+        )(sref, xp, wstack)
 
     if fmt == "fp16":
         wstack = jax.lax.bitcast_convert_type(wstack, jnp.uint16)
 
+    def x_map(i, a, sref):
+        return (a if Ax > 1 else 0, 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid,
         in_specs=[
-            # x rides as (B, 1, n) for the same last-two-dims rule as the
-            # output (a (1, n) block over (B, n) only lowers when B == 1)
-            pl.BlockSpec((1, 1, x.shape[1]), lambda b, i, s: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, n), x_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, td, n_packed), w_map, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, td), lambda b, i, s: (b, 0, i),
-                               memory_space=pltpu.VMEM))
+        out_specs=pl.BlockSpec((1, B, td), o_map, memory_space=pltpu.VMEM))
     return pl.pallas_call(
-        functools.partial(_moe_kernel, fmt=fmt), grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 1, d), jnp.float32),
+        functools.partial(_moe_dense_kernel, fmt=fmt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((A, B, d), jnp.float32),
         compiler_params=_VMEM_PARAMS, interpret=interpret,
-    )(sref, x.astype(jnp.float32)[:, None], wstack).reshape(B, d)
+    )(sref, x.astype(jnp.float32), wstack)
 
 
-def qmm_moe(x: jax.Array, wstack: jax.Array, eidx: jax.Array, fmt: str,
-            layer=None) -> jax.Array:
-    """Per-row expert matvec: x (B, n) @ wstack[layer, eidx[b]]^T -> (B, d).
-    A 3-D (E, d, n_packed) wstack is treated as a single-layer stack."""
+def qmm_moe_dense(x: jax.Array, wstack: jax.Array, eidx: jax.Array, fmt: str,
+                  layer=None) -> jax.Array:
+    """Dense expert sweep (see _qmm_moe_dense): x (Ax, B, n), eidx (A,)
+    sorted-unique-padded -> (A, B, d). A 3-D (E, d, n_packed) wstack is a
+    single-layer stack."""
     if wstack.ndim == 3:
         wstack = wstack[None]
         layer = jnp.int32(0)
-    return _qmm_moe(x, wstack, jnp.asarray(layer, jnp.int32), eidx, fmt,
-                    _INTERPRET)
+    return _qmm_moe_dense(x, wstack, jnp.asarray(layer, jnp.int32), eidx,
+                          fmt, _INTERPRET)
 
 
 def moe_supported(x_shape, wstack, fmt: str) -> bool:

@@ -91,34 +91,56 @@ def health_check(mesh: Mesh | None = None, timeout_s: float = 60.0) -> dict:
     BEFORE loading 100 GB of weights).
 
     Runs a psum across every device of the mesh and checks the arithmetic;
-    returns a small report dict, raises RuntimeError on mismatch/hang.
+    returns a small report dict, raises RuntimeError on mismatch/hang. The
+    probe runs in a watchdog thread: a sick ICI link that blocks the
+    collective forever raises within ``timeout_s`` instead of hanging the
+    caller (the daemon thread is abandoned — the point of the check is to
+    abort the process before loading 100 GB of weights).
     """
+    import threading
     import time as _time
 
     devices = (list(mesh.devices.flat) if mesh is not None
                else jax.devices())
     n = len(devices)
     t0 = _time.perf_counter()
-    try:
-        probe = Mesh(np.asarray(devices).reshape(n), ("all",))
-        ones = jax.device_put(
-            np.ones((n, 8), np.float32),
-            jax.sharding.NamedSharding(probe, jax.sharding.PartitionSpec("all")))
+    result: dict = {}
 
-        def allsum(x):
-            return jax.lax.psum(x, "all")
+    def probe_fn():
+        try:
+            probe = Mesh(np.asarray(devices).reshape(n), ("all",))
+            ones = jax.device_put(
+                np.ones((n, 8), np.float32),
+                jax.sharding.NamedSharding(probe,
+                                           jax.sharding.PartitionSpec("all")))
 
-        fn = jax.jit(jax.shard_map(allsum, mesh=probe,
-                                   in_specs=jax.sharding.PartitionSpec("all"),
-                                   out_specs=jax.sharding.PartitionSpec("all")))
-        out = np.asarray(fn(ones))
-    except Exception as e:  # noqa: BLE001 — wrap with diagnostics
+            def allsum(x):
+                return jax.lax.psum(x, "all")
+
+            fn = jax.jit(jax.shard_map(
+                allsum, mesh=probe,
+                in_specs=jax.sharding.PartitionSpec("all"),
+                out_specs=jax.sharding.PartitionSpec("all")))
+            result["out"] = np.asarray(fn(ones))
+        except Exception as e:  # noqa: BLE001 — wrap with diagnostics
+            result["err"] = e
+
+    t = threading.Thread(target=probe_fn, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise RuntimeError(
+            f"slice health check HUNG (> {timeout_s:.0f}s) across {n} "
+            f"devices ({[d.device_kind for d in devices[:4]]}...) — "
+            "collective never completed; suspect a sick ICI link or a "
+            "missing process in the mesh")
+    if "err" in result:
         raise RuntimeError(
             f"slice health check FAILED across {n} devices "
-            f"({[d.device_kind for d in devices[:4]]}...): {e}") from e
+            f"({[d.device_kind for d in devices[:4]]}...): {result['err']}"
+        ) from result["err"]
+    out = result["out"]
     dt = _time.perf_counter() - t0
-    if dt > timeout_s:
-        raise RuntimeError(f"slice health check too slow: {dt:.1f}s")
     if not np.allclose(out, float(n)):
         raise RuntimeError(
             f"slice health check WRONG RESULT: psum over {n} devices "

@@ -132,7 +132,8 @@ def sharded_decode_scan(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
     fn = shard_map(partial(decode_scan_fn, cfg, n_steps=n_steps, plan=plan),
                    mesh=mesh,
                    in_specs=(wspecs, batch, batch, cspecs),
-                   out_specs=(P(plan.dp, None), cspecs, P(plan.dp, plan.tp)),
+                   out_specs=(P(plan.dp, None), cspecs,
+                              P(None, plan.dp, plan.tp)),
                    check_vma=False)
     return jax.jit(fn, donate_argnums=(3,))
 

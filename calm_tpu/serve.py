@@ -67,8 +67,11 @@ def _read_slot_rows(buf, slot, n):
     return jax.lax.dynamic_slice(buf, (0, slot, 0, 0, 0), (L, 1, KVH, n, hd))
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def _write_slot_rows(buf, rows, slot):
+    """In-place (donated) row copy: a prefix-cache hit must not cost a full
+    multi-GiB cache copy per admission — XLA aliases the donated buffer and
+    writes only the touched rows."""
     return jax.lax.dynamic_update_slice(buf, rows, (0, slot, 0, 0, 0))
 
 

@@ -267,6 +267,8 @@ def _speculative_sampled(target: Engine, draft: Engine, prompt: str,
 
         # 3) rejection-sample the longest accepted prefix
         n_rounds += 1
+        p0 = pos  # round start position (for the full-accept backfill)
+        full_accept = False
         emitted = []
         for i in range(budget):
             p = _minp_probs(t_logits[i], temperature, minp)
@@ -289,11 +291,23 @@ def _speculative_sampled(target: Engine, draft: Engine, prompt: str,
         else:
             # every draft token accepted: one bonus token from the target's
             # post-proposal distribution
+            full_accept = True
             p = _minp_probs(t_logits[budget], temperature, minp)
             logits_last = t_logits[budget]
             r = rng.next_f32()
             emitted.append(int(min(np.searchsorted(np.cumsum(p), r * p.sum()),
                                    len(p) - 1)))
+
+        if full_accept:
+            # backfill the draft KV row the scan never wrote: the scan wrote
+            # rows p0..p0+budget-1 for [token, proposal[:-1]]; after a full
+            # accept + bonus the next round starts at p0+budget+1, so
+            # proposal[-1]'s row at p0+budget would stay a hole forever —
+            # the draft would attend a zero row for the rest of the window,
+            # silently degrading acceptance (output stays exact: q uses the
+            # draft's actual logits either way)
+            draft.step(proposal[-1], p0 + pos_offset + budget)
+            read_bytes += draft.n_bandwidth
 
         for nxt in emitted:
             pos += 1

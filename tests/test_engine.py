@@ -65,6 +65,60 @@ def test_generate_prefill_equals_stepping(engine):
         "utf-8", errors="replace") == fast.text[: len(tok.decode_piece(toks[-1], nxt))]
 
 
+def test_generate_sampled_on_device(engine):
+    """temperature > 0 rides the chunked on-device sampler by default:
+    same seed -> identical sequence, and the run completes without
+    per-token host stepping (the reference contract: one launch per token
+    for every sampling mode, src/run.c:209)."""
+    engine.reset()
+    s1 = engine.generate("AB", steps=8, temperature=0.8, minp=0.1, seed=7)
+    engine.reset()
+    s2 = engine.generate("AB", steps=8, temperature=0.8, minp=0.1, seed=7)
+    assert s1.text == s2.text
+    assert s1.logits_hash == s2.logits_hash
+    assert 0 < s1.tokens <= 8
+
+
+def test_generate_reference_sampling_path(engine):
+    """reference_sampling=True keeps the bit-compatible host xorshift64*
+    per-token loop."""
+    engine.reset()
+    s1 = engine.generate("AB", steps=6, temperature=0.9, minp=0.1, seed=3,
+                         reference_sampling=True)
+    engine.reset()
+    s2 = engine.generate("AB", steps=6, temperature=0.9, minp=0.1, seed=3,
+                         reference_sampling=True)
+    assert s1.text == s2.text
+
+
+def test_greedy_hash_matches_step_loop(engine):
+    """The chunked greedy fast path must fingerprint the logits at the
+    exact final decoded position — identical to a per-step loop (a stop
+    token mid-chunk must not hash a later chunk step)."""
+    from calm_tpu import model as M
+
+    engine.reset()
+    fast = engine.generate("AB", steps=8, temperature=0.0)
+
+    engine.reset()
+    toks = engine.tokenizer.encode("AB", bos=True)
+    for pos in range(len(toks) - 1):
+        engine.step(toks[pos], pos)
+    pos = len(toks) - 1
+    token = toks[-1]
+    stops = (engine.tokenizer.bos_id, engine.tokenizer.eos_id,
+             engine.tokenizer.eot_id)
+    logits = None
+    while pos < 8:  # same loop bound as Engine.generate(steps=8)
+        logits = engine.step(token, pos)
+        pos += 1
+        nxt = int(np.argmax(logits))
+        if nxt in stops:
+            break
+        token = nxt
+    assert fast.logits_hash == M.logits_hash(logits)
+
+
 def test_perplexity(engine):
     ppl, err, n = engine.perplexity("ABCABCABC", steps=8)
     assert np.isfinite(ppl) and ppl > 0

@@ -100,27 +100,52 @@ def test_layered_kernel(rng, fmt):
 
 
 @pytest.mark.parametrize("fmt", ["fp16", "fp8", "gf4"])
-def test_moe_kernel(rng, fmt):
-    """Per-row expert selection via scalar prefetch matches direct matmuls."""
+def test_moe_dense_kernel(rng, fmt):
+    """Dense unique-expert sweep via scalar prefetch matches direct matmuls:
+    Y[a, b] = x[b] @ W[l, eidx[a]]^T (shared activations, Ax == 1)."""
     L, E, d, n, B = 2, 4, 256, 384, 3
     planes = [[make_qt(rng, d, n, fmt)[0] for _ in range(E)] for _ in range(L)]
     stack = jnp.stack([jnp.stack([planes[l][e].data for e in range(E)])
                        for l in range(L)])
     x = rng.standard_normal((B, n)).astype(np.float32)
-    eidx = jnp.asarray([2, 0, 3], jnp.int32)
+    eidx = jnp.asarray([0, 2, 3, 3], jnp.int32)  # sorted, padded by repeat
     for l in range(L):
-        got = np.asarray(pallas_qmm.qmm_moe(
-            jnp.asarray(x), stack, eidx, fmt, jnp.int32(l)))
+        got = np.asarray(pallas_qmm.qmm_moe_dense(
+            jnp.asarray(x)[None], stack, eidx, fmt, jnp.int32(l)))
+        assert got.shape == (4, B, d)
+        for a in range(4):
+            for b in range(B):
+                want = np.asarray(qmm.qmatmul(jnp.asarray(x[b:b + 1]),
+                                              planes[l][int(eidx[a])]))
+                np.testing.assert_allclose(got[a, b:b + 1], want,
+                                           rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("fmt", ["fp8", "gf4"])
+def test_moe_dense_kernel_per_slot_x(rng, fmt):
+    """Stage-2 form (Ax == A): each expert slot dots its OWN activation
+    rows (the h = silu(w1x)*w3x intermediate)."""
+    E, d, n, B, A = 4, 256, 384, 2, 3
+    planes = [make_qt(rng, d, n, fmt)[0] for _ in range(E)]
+    stack = jnp.stack([p.data for p in planes])
+    x = rng.standard_normal((A, B, n)).astype(np.float32)
+    eidx = jnp.asarray([1, 2, 2], jnp.int32)
+    got = np.asarray(pallas_qmm.qmm_moe_dense(
+        jnp.asarray(x), stack, eidx, fmt))
+    for a in range(A):
         for b in range(B):
-            want = np.asarray(qmm.qmatmul(jnp.asarray(x[b:b + 1]),
-                                          planes[l][int(eidx[b])]))
-            np.testing.assert_allclose(got[b:b + 1], want, rtol=3e-2, atol=3e-2)
+            want = np.asarray(qmm.qmatmul(jnp.asarray(x[a, b:b + 1]),
+                                          planes[int(eidx[a])]))
+            np.testing.assert_allclose(got[a, b:b + 1], want,
+                                       rtol=3e-2, atol=3e-2)
 
 
-def test_moe_path_in_model(rng):
-    """The expert-indexed decode path produces the same logits as the vmap
-    reference path on a tiny MoE model (interpret mode)."""
-    import jax
+@pytest.mark.parametrize("batch", [1, 4])
+def test_moe_path_in_model(rng, batch):
+    """The dense unique-expert decode path produces the same logits as the
+    vmap reference path on a tiny MoE model (interpret mode). batch > 1
+    exercises the dedup: rows share experts, the combine must not double
+    count padded slots."""
     from calm_tpu import model as M
     from calm_tpu.config import ModelConfig
     from calm_tpu.utils.synth import synth_weights
@@ -130,17 +155,17 @@ def test_moe_path_in_model(rng):
                       rope_theta=10000.0, rotary_dim=32, norm_ln=False,
                       dtype="fp8", n_experts=4, n_experts_ac=2)
     w = synth_weights(cfg)
-    tok = jnp.zeros((1,), jnp.int32)
-    pos = jnp.zeros((1,), jnp.int32)
+    tok = jnp.arange(batch, dtype=jnp.int32) % 7
+    pos = jnp.zeros((batch,), jnp.int32)
 
-    cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+    cache = M.KVCache.create(cfg, batch, jnp.bfloat16)
     want, _ = M.decode_step_fn(cfg, w, tok, pos, cache)
 
     qmm.enable_pallas(True)
     try:
         from calm_tpu.ops import pallas_attn
         pallas_attn.set_interpret(True)
-        cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+        cache = M.KVCache.create(cfg, batch, jnp.bfloat16)
         got, _ = M.decode_step_fn(cfg, w, tok, pos, cache)
     finally:
         qmm.enable_pallas(False)
