@@ -10,9 +10,10 @@ custom writer tools/convert.py:502-536) re-implemented for host-side numpy:
 - 256-byte aligned tensor data, tokenizer tensors appended last
 - fp8 stored with safetensors dtype tag F8_E5M2; gf4 stored as I32 words
 
-TPU-specific addition: :func:`TensorFile.read_shard` materializes only a
-row-slice of a tensor so each host of a multi-host slice reads just its
-shard of the weights from disk.
+Shard-aware loading rides the memmap: :meth:`TensorFile.get` returns a
+zero-copy view, and slicing it (calm_tpu.model.WeightDesc /
+calm_tpu.parallel.sharding.load_weights_sharded) faults in only the sliced
+file pages — each host of a multi-host mesh reads just its shard.
 """
 
 from __future__ import annotations
@@ -140,21 +141,6 @@ class TensorFile:
             raise ContainerError(
                 f"tensor {key!r}: shape mismatch (file {tshape}, want {tuple(shape)})")
         return self._mm[begin:end].view(tdtype).reshape(tshape)
-
-    def read_shard(self, name: str, axis: int, index: int, count: int) -> np.ndarray:
-        """Materialize only rows [index::count] blocks of a tensor along axis.
-
-        Each host of a multi-host mesh calls this with its shard coordinates
-        so only 1/count of the file pages are faulted in.
-        """
-        t = self.get(name)
-        dim = t.shape[axis]
-        if dim % count:
-            raise ContainerError(f"tensor {name!r}: axis {axis} ({dim}) not divisible by {count}")
-        step = dim // count
-        sl = [slice(None)] * t.ndim
-        sl[axis] = slice(index * step, (index + 1) * step)
-        return np.ascontiguousarray(t[tuple(sl)])
 
     def count_bytes(self, prefix: str, contains: str | None = None):
         """(bytes, params) over tensors matching a name prefix/substring.

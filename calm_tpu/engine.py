@@ -72,7 +72,11 @@ _WEIGHTS_CACHE: "weakref.WeakValueDictionary[tuple, M.Weights]" = (
 class Engine:
     def __init__(self, path: str, context: int = 0,
                  kv_dtype: str | None = None, batch: int = 1,
-                 precise: bool = False):
+                 precise: bool = False, lazy_weights: bool = False):
+        """``lazy_weights=True`` skips host-replicated weight loading — the
+        caller installs ``self.weights`` itself (the sharded server uses
+        parallel.sharding.load_weights_sharded so each host reads only its
+        shard of the container)."""
         import jax
         from calm_tpu.ops import qmm as _qmm
         _qmm.enable_pallas(jax.default_backend() == "tpu")
@@ -83,13 +87,16 @@ class Engine:
         self.tf = TensorFile(path)
         self.cfg = ModelConfig.from_metadata(self.tf.metadata, context)
         self.tokenizer = Tokenizer.from_container(self.tf)
-        st = os.stat(path)
-        wkey = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
-        w = _WEIGHTS_CACHE.get(wkey)
-        if w is None:
-            w = M.load_weights(self.tf, self.cfg)
-            _WEIGHTS_CACHE[wkey] = w
-        self.weights = w
+        if lazy_weights:
+            self.weights = None
+        else:
+            st = os.stat(path)
+            wkey = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+            w = _WEIGHTS_CACHE.get(wkey)
+            if w is None:
+                w = M.load_weights(self.tf, self.cfg)
+                _WEIGHTS_CACHE[wkey] = w
+            self.weights = w
         self.batch = batch
 
         # weight bytes/params accounting (src/run.c:523-532)

@@ -113,109 +113,162 @@ def _file_dtype(fmt: str):
             "gf4": np.dtype(np.int32)}[fmt]
 
 
-def load_weights(tf: TensorFile, cfg: ModelConfig) -> Weights:
-    """Wire container tensors into the device pytree.
+class WeightDesc:
+    """Lazy host-side view of one (possibly layer-stacked) container tensor.
 
-    Name schema and shape validation mirror the reference loader
-    (src/run.c:71-117): gf4 tensors pack the contraction axis 8:1; the qkv
-    bias rides as one fused tensor in the container and is split here so each
-    section can shard with its projection.
+    ``fetch(index)`` materializes only the requested slice: the underlying
+    container is an np.memmap, so a row/column shard faults in just its own
+    file pages — this is what lets each host of a multi-host mesh read only
+    its 1/tp (1/ep, 1/pp) of the weights (SURVEY.md §5 checkpoint row; the
+    reference is single-GPU and always reads everything, src/run.c:550-574).
+    """
+
+    __slots__ = ("shape", "dtype", "_fetch", "fetched_bytes")
+
+    def __init__(self, shape, dtype, fetch):
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self._fetch = fetch
+        self.fetched_bytes = 0  # instrumentation for loading tests
+
+    def fetch(self, index=None) -> np.ndarray:
+        if index is None:
+            index = (slice(None),) * len(self.shape)
+        out = np.ascontiguousarray(self._fetch(tuple(index)))
+        self.fetched_bytes += out.nbytes
+        return out
+
+
+def weight_descs(tf: TensorFile, cfg: ModelConfig) -> Weights:
+    """A Weights-shaped pytree whose leaves are WeightDescs (QTensor.data /
+    .scale included). Name schema and shape validation mirror the reference
+    loader (src/run.c:71-117): gf4 tensors pack the contraction axis 8:1;
+    the qkv bias rides as one fused tensor in the container and is split
+    here so each section can shard with its projection.
     """
     fmt = cfg.dtype
     wdt = _file_dtype(fmt)
     gs = 8 if fmt == "gf4" else 1
+    L = cfg.n_layers
     D, Hd, Q, KV, V, E = (cfg.dim, cfg.hidden_dim, cfg.q_dim, cfg.kv_dim,
                           cfg.vocab_size, cfg.n_experts)
 
-    def qget(name, layer, shape):
-        return np.asarray(tf.get(name, layer, wdt, shape))
+    def desc(name, shape, dtype=None):
+        dtype = wdt if dtype is None else dtype
+        tf.get(name, None, dtype, shape)  # validate now, fetch lazily
+        return WeightDesc(shape, dtype,
+                          lambda idx: tf.get(name, None, dtype, shape)[idx])
 
-    def sget(name, layer=None):
-        """Per-tensor fp8e4 dequant scale ((1,) f32 alongside each weight)."""
-        if fmt != "fp8e4":
-            return None
-        return np.asarray(tf.get(name + ".scale", layer, np.float32, (1,)))
+    def desc_stack(name, per_layer_shape, dtype=None):
+        """(L, *per_layer_shape) stacked lazily: a layer/pp shard stacks
+        only its own layers' slices."""
+        dtype = wdt if dtype is None else dtype
+        for l in range(L):
+            tf.get(name, l, dtype, per_layer_shape)  # validate all layers
 
-    def qtensor(name, layer, shape):
-        return QTensor.from_numpy(qget(name, layer, shape), fmt,
-                                  scale=sget(name, layer))
+        def fetch(idx):
+            ls = range(L)[idx[0]]
+            rest = idx[1:] if len(idx) > 1 else ()
+            parts = [tf.get(name, l, dtype, per_layer_shape)[rest]
+                     for l in ls]
+            return np.stack(parts)
 
-    embed = qtensor("model.embed.weight", None, (V, D // gs))
+        return WeightDesc((L,) + tuple(per_layer_shape), dtype, fetch)
 
-    def stack(fn):
-        return np.stack([fn(l) for l in range(cfg.n_layers)])
+    def desc_const(arr):
+        return WeightDesc(arr.shape, arr.dtype, lambda idx: arr[idx])
 
-    def qstack(name, shape):
-        """Layer-stacked QTensor; fp8e4 scales stack along the same axis."""
-        data = stack(lambda l: qget(name, l, shape))
-        scale = (stack(lambda l: sget(name, l)) if fmt == "fp8e4" else None)
-        return QTensor.from_numpy(data, fmt, scale=scale)
+    def qdesc(name, shape):
+        scale = (desc(name + ".scale", (1,), np.float32)
+                 if fmt == "fp8e4" else None)
+        return QTensor(desc(name, shape), fmt, scale)
 
-    attn_norm = stack(lambda l: np.asarray(
-        tf.get("model.layers.%d.attn.norm.weight", l, np.float32, (D,))))
+    def qdesc_stack(name, shape, scale_shape=(1,)):
+        scale = (desc_stack(name + ".scale", scale_shape, np.float32)
+                 if fmt == "fp8e4" else None)
+        return QTensor(desc_stack(name, shape), fmt, scale)
+
+    embed = qdesc("model.embed.weight", (V, D // gs))
+
+    attn_norm = desc_stack("model.layers.%d.attn.norm.weight", (D,),
+                           np.float32)
     if cfg.norm_par:
-        ffn_norm = np.zeros_like(attn_norm)
+        ffn_norm = desc_const(np.zeros((L, D), np.float32))
     else:
-        ffn_norm = stack(lambda l: np.asarray(
-            tf.get("model.layers.%d.mlp.norm.weight", l, np.float32, (D,))))
+        ffn_norm = desc_stack("model.layers.%d.mlp.norm.weight", (D,),
+                              np.float32)
 
-    wq = qstack("model.layers.%d.attn.wq.weight", (Q, D // gs))
-    wk = qstack("model.layers.%d.attn.wk.weight", (KV, D // gs))
-    wv = qstack("model.layers.%d.attn.wv.weight", (KV, D // gs))
-    wo = qstack("model.layers.%d.attn.wo.weight", (D, Q // gs))
+    wq = qdesc_stack("model.layers.%d.attn.wq.weight", (Q, D // gs))
+    wk = qdesc_stack("model.layers.%d.attn.wk.weight", (KV, D // gs))
+    wv = qdesc_stack("model.layers.%d.attn.wv.weight", (KV, D // gs))
+    wo = qdesc_stack("model.layers.%d.attn.wo.weight", (D, Q // gs))
 
     if tf.find("model.layers.%d.attn.wqkv.bias", 0):
-        bqkv = stack(lambda l: np.asarray(
-            tf.get("model.layers.%d.attn.wqkv.bias", l, np.float32, (Q + 2 * KV,))))
+        bqkv = np.stack([np.asarray(
+            tf.get("model.layers.%d.attn.wqkv.bias", l, np.float32,
+                   (Q + 2 * KV,))) for l in range(L)])
     else:
-        bqkv = np.zeros((cfg.n_layers, Q + 2 * KV), np.float32)
-    bq, bk, bv = bqkv[:, :Q], bqkv[:, Q:Q + KV], bqkv[:, Q + KV:]
+        bqkv = np.zeros((L, Q + 2 * KV), np.float32)
+    bq = desc_const(np.ascontiguousarray(bqkv[:, :Q]))
+    bk = desc_const(np.ascontiguousarray(bqkv[:, Q:Q + KV]))
+    bv = desc_const(np.ascontiguousarray(bqkv[:, Q + KV:]))
 
     if E:
         # MoE expert stacks quantize per (layer, expert): scales are (L, E, 1)
-        def qstack_moe(name, shape):
-            data = stack(lambda l: qget(name, l, shape))
-            if fmt != "fp8e4":
-                return QTensor.from_numpy(data, fmt)
-            scale = stack(lambda l: np.asarray(
-                tf.get(name + ".scale", l, np.float32, (E, 1))))
-            return QTensor.from_numpy(data, fmt, scale=scale)
+        def qdesc_moe(name, shape):
+            return qdesc_stack(name, shape, scale_shape=(E, 1))
 
-        w1 = qstack_moe("model.layers.%d.mlp.w1.weight", (E, Hd, D // gs))
-        w2 = qstack_moe("model.layers.%d.mlp.w2.weight", (E, D, Hd // gs))
-        w3 = qstack_moe("model.layers.%d.mlp.w3.weight", (E, Hd, D // gs))
-        moegate = qstack("model.layers.%d.moegate.weight", (E, D // gs))
+        w1 = qdesc_moe("model.layers.%d.mlp.w1.weight", (E, Hd, D // gs))
+        w2 = qdesc_moe("model.layers.%d.mlp.w2.weight", (E, D, Hd // gs))
+        w3 = qdesc_moe("model.layers.%d.mlp.w3.weight", (E, Hd, D // gs))
+        moegate = qdesc_stack("model.layers.%d.moegate.weight", (E, D // gs))
     else:
-        w1 = qstack("model.layers.%d.mlp.w1.weight", (Hd, D // gs))
-        w2 = qstack("model.layers.%d.mlp.w2.weight", (D, Hd // gs))
-        w3 = qstack("model.layers.%d.mlp.w3.weight", (Hd, D // gs))
+        w1 = qdesc_stack("model.layers.%d.mlp.w1.weight", (Hd, D // gs))
+        w2 = qdesc_stack("model.layers.%d.mlp.w2.weight", (D, Hd // gs))
+        w3 = qdesc_stack("model.layers.%d.mlp.w3.weight", (Hd, D // gs))
         moegate = None
 
     if cfg.norm_qk:
-        q_norm = stack(lambda l: np.asarray(
-            tf.get("model.layers.%d.attn.q_norm.weight", l, np.float32, (Q,))))
-        k_norm = stack(lambda l: np.asarray(
-            tf.get("model.layers.%d.attn.k_norm.weight", l, np.float32, (KV,))))
+        q_norm = desc_stack("model.layers.%d.attn.q_norm.weight", (Q,),
+                            np.float32)
+        k_norm = desc_stack("model.layers.%d.attn.k_norm.weight", (KV,),
+                            np.float32)
     else:
         q_norm = k_norm = None
 
-    final_norm = np.asarray(tf.get("model.norm.weight", None, np.float32, (D,)))
+    final_norm = desc("model.norm.weight", (D,), np.float32)
 
     if tf.find("model.output.weight") is None:
-        output = embed  # tied embeddings
+        output = embed  # tied embeddings (same descs: fetched once per shard)
     else:
-        output = qtensor("model.output.weight", None, (V, D // gs))
+        output = qdesc("model.output.weight", (V, D // gs))
 
     layers = LayerWeights(
-        attn_norm=jnp.asarray(attn_norm), ffn_norm=jnp.asarray(ffn_norm),
-        wq=wq, wk=wk, wv=wv, wo=wo,
-        bq=jnp.asarray(bq), bk=jnp.asarray(bk), bv=jnp.asarray(bv),
+        attn_norm=attn_norm, ffn_norm=ffn_norm,
+        wq=wq, wk=wk, wv=wv, wo=wo, bq=bq, bk=bk, bv=bv,
         w1=w1, w2=w2, w3=w3, moegate=moegate,
-        q_norm=None if q_norm is None else jnp.asarray(q_norm),
-        k_norm=None if k_norm is None else jnp.asarray(k_norm))
+        q_norm=q_norm, k_norm=k_norm)
 
     return Weights(embed=embed, layers=layers,
-                   final_norm=jnp.asarray(final_norm), output=output)
+                   final_norm=final_norm, output=output)
+
+
+def _is_desc(x):
+    return isinstance(x, WeightDesc)
+
+
+def load_weights(tf: TensorFile, cfg: ModelConfig) -> Weights:
+    """Wire container tensors into the (host-replicated) device pytree."""
+    descs = weight_descs(tf, cfg)
+    fetched: dict[int, jax.Array] = {}  # tied embed/output load once
+
+    def materialize(d: WeightDesc):
+        key = id(d)
+        if key not in fetched:
+            fetched[key] = jnp.asarray(d.fetch())
+        return fetched[key]
+
+    return jax.tree.map(materialize, descs, is_leaf=_is_desc)
 
 
 # ---------------------------------------------------------------------------
@@ -840,7 +893,20 @@ def prefill_slot_fn(cfg: ModelConfig, w: Weights, tokens, n_valid, slot,
     carried cache. Padded positions write garbage KV rows beyond
     pos0+n_valid — harmless: the kv_len mask hides every row until decode
     reaches and overwrites it.
+
+    ``slot`` is the GLOBAL slot index. Under dp the cache is batch-sharded:
+    every dp shard runs the same SPMD program on its clamped local slot and
+    only the owning shard's write survives (the others re-write their own
+    slot's current rows); the returned logits reassemble from the owner
+    with a psum.
     """
+    if plan.dp is not None:
+        b_local = cache.k.shape[1]
+        local = slot - jax.lax.axis_index(plan.dp) * b_local
+        own = (local >= 0) & (local < b_local)
+        slot = jnp.clip(local, 0, b_local - 1)
+    else:
+        own = None
     ks = jax.lax.dynamic_slice_in_dim(cache.k, slot, 1, axis=1)
     vs = jax.lax.dynamic_slice_in_dim(cache.v, slot, 1, axis=1)
     T = tokens.shape[1]
@@ -850,8 +916,14 @@ def prefill_slot_fn(cfg: ModelConfig, w: Weights, tokens, n_valid, slot,
                            (p0 + n_valid)[None], KVCache(ks, vs),
                            rolling=False, logits_mode="all", plan=plan)
     last = jax.lax.dynamic_slice_in_dim(logits[0], n_valid - 1, 1, axis=0)[0]
-    k = jax.lax.dynamic_update_slice_in_dim(cache.k, sub.k, slot, axis=1)
-    v = jax.lax.dynamic_update_slice_in_dim(cache.v, sub.v, slot, axis=1)
+    new_k, new_v = sub.k, sub.v
+    if own is not None:
+        new_k = jnp.where(own, new_k, ks)
+        new_v = jnp.where(own, new_v, vs)
+        last = jax.lax.psum(jnp.where(own, last, jnp.zeros_like(last)),
+                            plan.dp)
+    k = jax.lax.dynamic_update_slice_in_dim(cache.k, new_k, slot, axis=1)
+    v = jax.lax.dynamic_update_slice_in_dim(cache.v, new_v, slot, axis=1)
     return last, KVCache(k, v)
 
 

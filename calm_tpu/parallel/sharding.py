@@ -89,6 +89,47 @@ def shard_weights(w: Weights, cfg: ModelConfig, mesh: Mesh,
     return jax.device_put(w, shardings)
 
 
+def load_weights_sharded(tf, cfg: ModelConfig, mesh: Mesh,
+                         plan: ShardingPlan) -> Weights:
+    """Shard-aware weight loading: each host materializes ONLY its devices'
+    shards of every tensor before placement.
+
+    Built on jax.make_array_from_callback over model.weight_descs: the
+    callback receives a shard's index tuple and slices it straight out of
+    the container's memmap, faulting in only that shard's file pages — a
+    34B+ model on a multi-host mesh never materializes host-replicated
+    (shard_weights device_puts the full pytree from every host, which blows
+    host RAM at scale; keep it for tests/small models). The reference has
+    no multi-device story at all (SURVEY.md §2.3)."""
+    from calm_tpu.model import WeightDesc, weight_descs
+
+    plan.validate(cfg, mesh.shape.get(plan.tp, 1) if plan.tp else 1,
+                  mesh.shape.get(plan.ep, 1) if plan.ep else 1)
+    plan.validate_pp(cfg, mesh.shape.get(plan.pp, 1) if plan.pp else 1)
+    descs = weight_descs(tf, cfg)
+    specs = weight_pspecs(cfg, plan)
+    made: dict[tuple, jax.Array] = {}  # tied embed/output: one device copy
+
+    def make(d, spec):
+        key = (id(d), spec)
+        if key not in made:
+            sh = NamedSharding(mesh, spec)
+            cache: dict[tuple, object] = {}  # replicated axes: slice once
+
+            def cb(index, d=d, cache=cache):
+                k = tuple((s.start, s.stop, s.step) for s in index)
+                if k not in cache:
+                    cache[k] = d.fetch(index)
+                return cache[k]
+
+            made[key] = jax.make_array_from_callback(d.shape, sh, cb)
+        return made[key]
+
+    return jax.tree.map(
+        make, descs, specs,
+        is_leaf=lambda x: isinstance(x, WeightDesc))
+
+
 def shard_cache(cache: KVCache, mesh: Mesh, plan: ShardingPlan) -> KVCache:
     return jax.device_put(cache, _tree_shardings(mesh, cache_pspecs(plan)))
 
@@ -141,10 +182,9 @@ def sharded_decode_scan(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
 def sharded_prefill_slot(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
     """Build the jitted single-slot prefill for continuous batching on a
     sharded model: (w, tokens (1, T), n_valid, slot, cache) ->
-    (last-token logits (V,), cache). The slot index addresses the global
-    batch; under dp each shard owns B/dp slots, so dp is not supported here
-    (admit into the local shard's server instead)."""
-    assert plan.dp is None, "slot admission is per-dp-shard"
+    (last-token logits (V,), cache). ``slot`` addresses the GLOBAL batch;
+    under dp every shard runs the same SPMD admission and only the owning
+    shard's cache write survives (model.prefill_slot_fn)."""
     wspecs = weight_pspecs(cfg, plan)
     cspecs = cache_pspecs(plan)
     rep = P()

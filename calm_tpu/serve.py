@@ -55,6 +55,9 @@ class Request:
     done: bool = False
     n_generated: int = 0
     cached_prefix: int = 0  # prompt tokens served from the prefix cache
+    truncated_prompt: int = 0  # prompt tokens dropped to fit the window
+                               # (left at 0 when the prompt fit; clients can
+                               # check instead of being silently clipped)
     submitted_at: float = 0.0
     first_token_at: float = 0.0
     finished_at: float = 0.0
@@ -94,30 +97,38 @@ class PrefixCache:
         self.hits = 0
         self.hit_tokens = 0
         self._entries: OrderedDict[tuple, tuple] = OrderedDict()
+        # length -> stored keys of that length: match probes one hash per
+        # DISTINCT stored length instead of scanning every entry
+        self._lengths: dict[int, set] = {}
 
     def match(self, toks) -> tuple[int, tuple | None]:
         """Longest stored prefix of ``toks``; marks the entry most-recent."""
-        best_len, best_key = 0, None
-        for key in self._entries:
-            n = len(key)
-            if best_len < n <= len(toks) and tuple(toks[:n]) == key:
-                best_len, best_key = n, key
-        if best_key is None:
-            return 0, None
-        self._entries.move_to_end(best_key)
-        self.hits += 1
-        self.hit_tokens += best_len
-        return best_len, self._entries[best_key]
+        for n in sorted(self._lengths, reverse=True):
+            if n > len(toks):
+                continue
+            key = tuple(toks[:n])
+            if key in self._lengths[n]:
+                self._entries.move_to_end(key)
+                self.hits += 1
+                self.hit_tokens += n
+                return n, self._entries[key]
+        return 0, None
 
     def put(self, toks, k_rows, v_rows):
         key = tuple(toks)
         if key in self._entries:
             return
         self._entries[key] = (k_rows, v_rows)
+        self._lengths.setdefault(len(key), set()).add(key)
         self.tokens += len(key)
         while self.tokens > self.capacity and len(self._entries) > 1:
             old, _ = self._entries.popitem(last=False)
             self.tokens -= len(old)
+            bucket = self._lengths.get(len(old))
+            if bucket is not None:
+                bucket.discard(old)
+                if not bucket:
+                    del self._lengths[len(old)]
 
 
 @dataclasses.dataclass
@@ -128,6 +139,8 @@ class _Slot:
     token: int = 0
     sampler: Sampler | None = None
     out: bytearray = dataclasses.field(default_factory=bytearray)
+    _save_prefix: list | None = None  # prefix-cache save deferred past the
+                                      # admission prefill
 
 
 class Server:
@@ -138,30 +151,53 @@ class Server:
     of the full (B, V) logits. Per-request ``seed`` then selects the
     server-level PRNG stream rather than a bit-exact per-request xorshift
     stream — pass device_sampling=False for reference-compatible draws.
+
+    Continuous batching scales ACROSS HOSTS: with a dp axis in ``plan`` the
+    ``batch`` slots partition over the dp shards (batch % dp == 0), and
+    under jax.distributed each process admits requests into its OWN shard's
+    slots and samples only its local logits rows. Admissions are
+    allgathered per tick so every process issues the identical SPMD prefill
+    calls (only the owning shard's cache write survives —
+    model.prefill_slot_fn); next-token/pos arrays reassemble from
+    process-local rows. The reference is strictly single-sequence
+    single-GPU (SURVEY.md §2.3).
     """
 
     def __init__(self, path: str, batch: int = 4, context: int = 0,
                  kv_dtype: str | None = None, device_sampling: bool = False,
                  seed: int = 42, mesh=None, plan=None,
                  prefix_cache_tokens: int = 0):
-        self.engine = Engine(path, context=context, kv_dtype=kv_dtype,
-                             batch=batch)
-        self.batch = batch
-
         # optional sharded execution: weights/cache placed on the mesh, the
         # decode/prefill steps run under shard_map (continuous batching on a
         # tp/ep-sharded model; scale hosts with jax.distributed + dp shards)
         self._sharded = mesh is not None
+        self.engine = Engine(path, context=context, kv_dtype=kv_dtype,
+                             batch=batch, lazy_weights=self._sharded)
+        self.batch = batch
+
+        self._mesh, self._plan = mesh, plan
+        self._pid = jax.process_index()
+        self._nproc = jax.process_count()
         if self._sharded:
-            from calm_tpu.parallel.sharding import (shard_cache,
-                                                    shard_weights,
+            from calm_tpu.parallel.sharding import (load_weights_sharded,
+                                                    shard_cache,
                                                     sharded_decode_step,
                                                     sharded_prefill_slot)
             eng = self.engine
-            eng.weights = shard_weights(eng.weights, eng.cfg, mesh, plan)
+            if plan.dp is not None:
+                assert batch % mesh.shape[plan.dp] == 0, \
+                    "batch must divide over dp shards"
+            # shard-aware load: this host materializes only its shards
+            eng.weights = load_weights_sharded(eng.tf, eng.cfg, mesh, plan)
             eng.cache = shard_cache(eng.cache, mesh, plan)
             self._decode_fn = sharded_decode_step(eng.cfg, mesh, plan)
             self._prefill_slot_fn = sharded_prefill_slot(eng.cfg, mesh, plan)
+        # slot ownership: each process admits/samples only its contiguous
+        # slot range (all slots on a single process; dp slots split over
+        # processes in process order — make_multihost_mesh places dp on DCN)
+        per = batch // self._nproc if self._nproc > 1 else batch
+        self._own_lo = self._pid * per
+        self._own_hi = batch if self._nproc == 1 else (self._pid + 1) * per
         # prompt prefix sharing (unsharded only: cached rows are host-managed
         # device blocks; the sharded cache would need per-shard row copies)
         self.prefix_cache = (PrefixCache(prefix_cache_tokens)
@@ -177,7 +213,6 @@ class Server:
         self._temps = np.zeros(batch, np.float32)  # parked slots: greedy
         self._minps = np.ones(batch, np.float32)
         if device_sampling:
-            import jax
             self._key = jax.random.PRNGKey(seed)
 
     # -- client api ---------------------------------------------------------
@@ -191,7 +226,15 @@ class Server:
 
     def run_until_drained(self, max_ticks: int | None = None):
         ticks = 0
-        while self.pending or any(s.active for s in self.slots):
+        while True:
+            live = bool(self.pending) or any(
+                s.active for s in self.slots[self._own_lo:self._own_hi])
+            if self._nproc > 1:
+                from jax.experimental import multihost_utils
+                live = bool(multihost_utils.process_allgather(
+                    np.array([live], np.int32)).any())
+            if not live:
+                break
             self.tick()
             ticks += 1
             if max_ticks is not None and ticks >= max_ticks:
@@ -199,18 +242,41 @@ class Server:
 
     # -- scheduler ----------------------------------------------------------
 
+    def _prefill_one(self, b: int, suffix: list[int], hit: int):
+        """Run the (bucketed) suffix prefill for slot b. Under multi-process
+        dp EVERY process calls this with identical arguments (SPMD); only
+        the owning shard's cache write survives."""
+        eng = self.engine
+        T = bucket_len(len(suffix), eng.cfg.seq_len)
+        if hit + T > eng.cfg.seq_len:
+            T = eng.cfg.seq_len - hit  # keep writes in-window
+        padded = np.zeros((1, T), np.int32)
+        padded[0, : len(suffix)] = suffix
+        if self._sharded:
+            _, eng.cache = self._prefill_slot_fn(
+                eng.weights, jnp.asarray(padded),
+                jnp.int32(len(suffix)), jnp.int32(b), eng.cache)
+        else:
+            _, eng.cache = M.prefill_slot(
+                eng.cfg, eng.weights, jnp.asarray(padded),
+                jnp.int32(len(suffix)), jnp.int32(b), eng.cache,
+                pos0=jnp.int32(hit))
+
     def _admit(self):
         eng = self.engine
-        for b, slot in enumerate(self.slots):
+        admissions: list[tuple[int, list[int], int]] = []
+        for b in range(self._own_lo, self._own_hi):
+            slot = self.slots[b]
             if slot.active or not self.pending:
                 continue
             req = self.pending.popleft()
             toks = eng.tokenizer.encode(req.prompt, bos=True)
             if not toks:
                 toks = [max(eng.tokenizer.bos_id, 0)]
-            # clamp absurd prompts to the window minus generation room
-            max_prompt = eng.cfg.seq_len - 1
-            toks = toks[:max_prompt]
+            if len(toks) > eng.cfg.seq_len - 1:
+                # clamp absurd prompts to the window minus generation room
+                req.truncated_prompt = len(toks) - (eng.cfg.seq_len - 1)
+                toks = toks[: eng.cfg.seq_len - 1]
 
             slot.active = True
             slot.req = req
@@ -238,65 +304,127 @@ class Server:
                 req.cached_prefix = hit
                 suffix = pre[hit:]
                 if suffix:
-                    T = bucket_len(len(suffix), eng.cfg.seq_len)
-                    if hit + T > eng.cfg.seq_len:
-                        T = eng.cfg.seq_len - hit  # keep writes in-window
-                    padded = np.zeros((1, T), np.int32)
-                    padded[0, : len(suffix)] = suffix
-                    if self._sharded:
-                        _, eng.cache = self._prefill_slot_fn(
-                            eng.weights, jnp.asarray(padded),
-                            jnp.int32(len(suffix)), jnp.int32(b), eng.cache)
-                    else:
-                        _, eng.cache = M.prefill_slot(
-                            eng.cfg, eng.weights, jnp.asarray(padded),
-                            jnp.int32(len(suffix)), jnp.int32(b), eng.cache,
-                            pos0=jnp.int32(hit))
+                    admissions.append((b, suffix, hit))
                 if self.prefix_cache is not None:
-                    save_n = len(pre) // PrefixCache.GRAIN * PrefixCache.GRAIN
-                    if save_n >= PrefixCache.GRAIN:
-                        key = tuple(pre[:save_n])
-                        if key not in self.prefix_cache._entries:
-                            self.prefix_cache.put(
-                                key,
-                                _read_slot_rows(eng.cache.k, jnp.int32(b), save_n),
-                                _read_slot_rows(eng.cache.v, jnp.int32(b), save_n))
+                    # defer the save until after the prefill runs below
+                    slot._save_prefix = pre
+
+        for b, suffix, hit in self._merge_admissions(admissions):
+            self._prefill_one(b, suffix, hit)
+
+        if self.prefix_cache is not None:
+            for b in range(self._own_lo, self._own_hi):
+                slot = self.slots[b]
+                pre = slot._save_prefix
+                if pre is None:
+                    continue
+                slot._save_prefix = None
+                save_n = len(pre) // PrefixCache.GRAIN * PrefixCache.GRAIN
+                if save_n >= PrefixCache.GRAIN:
+                    key = tuple(pre[:save_n])
+                    if key not in self.prefix_cache._entries:
+                        self.prefix_cache.put(
+                            key,
+                            _read_slot_rows(eng.cache.k, jnp.int32(b), save_n),
+                            _read_slot_rows(eng.cache.v, jnp.int32(b), save_n))
+
+    def _merge_admissions(self, local):
+        """Single process: pass through. Multi-process: allgather so every
+        process replays the SAME prefill sequence (deterministic order by
+        process id, then slot)."""
+        if self._nproc == 1:
+            return local
+        from jax.experimental import multihost_utils
+        S = self.engine.cfg.seq_len
+        cap = self._own_hi - self._own_lo
+        buf = np.full((cap, 3 + S), -1, np.int32)
+        for i, (b, suffix, hit) in enumerate(local):
+            buf[i, 0] = b
+            buf[i, 1] = len(suffix)
+            buf[i, 2] = hit
+            buf[i, 3 : 3 + len(suffix)] = suffix
+        gathered = multihost_utils.process_allgather(buf)  # (nproc, cap, 3+S)
+        merged = []
+        for p in range(gathered.shape[0]):
+            for i in range(cap):
+                if gathered[p, i, 0] < 0:
+                    continue
+                n = int(gathered[p, i, 1])
+                merged.append((int(gathered[p, i, 0]),
+                               [int(t) for t in gathered[p, i, 3 : 3 + n]],
+                               int(gathered[p, i, 2])))
+        return merged
+
+    def _global_batch_arr(self, arr: np.ndarray):
+        """Host (B,) array -> device array sharded over dp (multi-process:
+        assembled from this process's own rows)."""
+        if self._nproc == 1:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(self._mesh, P(self._plan.dp))
+        return jax.make_array_from_process_local_data(
+            sh, np.ascontiguousarray(arr[self._own_lo:self._own_hi]))
+
+    def _own_rows(self, arr) -> np.ndarray:
+        """Fetch this process's slot rows of a (B, ...) device array (the
+        full array is not addressable across processes)."""
+        if self._nproc == 1:
+            return np.asarray(arr)[self._own_lo:self._own_hi]
+        shape = (self._own_hi - self._own_lo,) + tuple(arr.shape[1:])
+        out = np.zeros(shape, arr.dtype)
+        for s in arr.addressable_shards:
+            idx = list(s.index)
+            r = idx[0]
+            r0 = 0 if r.start is None else int(r.start)
+            r1 = arr.shape[0] if r.stop is None else int(r.stop)
+            out[(slice(r0 - self._own_lo, r1 - self._own_lo),)
+                + tuple(idx[1:])] = np.asarray(s.data)
+        return out
 
     def tick(self):
-        """One scheduler tick: admit new requests, one decode step for all."""
+        """One scheduler tick: admit new requests, one decode step for all.
+        Under multi-process dp every process must call tick() in lockstep
+        (run_until_drained does)."""
         self._admit()
-        if not any(s.active for s in self.slots):
+        active = any(s.active
+                     for s in self.slots[self._own_lo:self._own_hi])
+        if self._nproc > 1:
+            from jax.experimental import multihost_utils
+            active = bool(multihost_utils.process_allgather(
+                np.array([active], np.int32)).any())
+        if not active:
             return
 
         eng = self.engine
         if self._sharded:
             logits, eng.cache = self._decode_fn(
-                eng.weights, jnp.asarray(self._tokens),
-                jnp.asarray(self._pos), eng.cache)
+                eng.weights, self._global_batch_arr(self._tokens),
+                self._global_batch_arr(self._pos), eng.cache)
         else:
             logits, eng.cache = M.decode_step(
                 eng.cfg, eng.weights,
                 jnp.asarray(self._tokens), jnp.asarray(self._pos), eng.cache)
 
         if self.device_sampling:
-            import jax
             from calm_tpu.sampler import device_sample
             self._key, sub = jax.random.split(self._key)
-            sampled = np.asarray(device_sample(
-                logits, sub, jnp.asarray(self._temps),
-                jnp.asarray(self._minps)))
+            sampled = self._own_rows(device_sample(
+                logits, sub, self._global_batch_arr(self._temps),
+                self._global_batch_arr(self._minps)))
             logits = None
         else:
-            logits = np.asarray(logits, np.float32)
+            logits = self._own_rows(logits).astype(np.float32)
 
         tok = eng.tokenizer
         now = time.perf_counter()
-        for b, slot in enumerate(self.slots):
+        for b in range(self._own_lo, self._own_hi):
+            slot = self.slots[b]
             if not slot.active:
                 continue
             req = slot.req
-            nxt = (int(sampled[b]) if self.device_sampling
-                   else slot.sampler.sample(logits[b].copy()))
+            lb = b - self._own_lo
+            nxt = (int(sampled[lb]) if self.device_sampling
+                   else slot.sampler.sample(logits[lb].copy()))
             if req.n_generated == 0:
                 req.first_token_at = now
             slot.pos += 1

@@ -86,15 +86,19 @@ def test_count_bytes(tmp_path):
     assert nbytes == 8 * 4 + 16 * 2
 
 
-def test_read_shard(tmp_path):
+def test_memmap_slicing_is_shard_read(tmp_path):
+    """get() views the memmap zero-copy; slicing a view materializes only
+    the slice — the primitive load_weights_sharded's WeightDescs use for
+    per-host shard reads."""
     t = {"w": np.arange(64, dtype=np.float16).reshape(8, 8)}
     path = str(tmp_path / "m.calm")
     container.write_tensors(path, t, {})
     tf = container.TensorFile(path)
-    shard = tf.read_shard("w", axis=0, index=1, count=4)
-    np.testing.assert_array_equal(shard, t["w"][2:4])
-    shard = tf.read_shard("w", axis=1, index=3, count=4)
-    np.testing.assert_array_equal(shard, t["w"][:, 6:8])
+    view = tf.get("w")
+    assert isinstance(view, np.memmap) or view.base is not None  # zero-copy
+    np.testing.assert_array_equal(np.ascontiguousarray(view[2:4]), t["w"][2:4])
+    np.testing.assert_array_equal(np.ascontiguousarray(view[:, 6:8]),
+                                  t["w"][:, 6:8])
 
 
 @pytest.mark.parametrize("mutate", [

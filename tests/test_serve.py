@@ -126,6 +126,104 @@ def test_sharded_server_parity(model_path):
     assert outs[0] == outs[1]
 
 
+def test_dp_sharded_server_parity(model_path):
+    """Continuous batching with slots PARTITIONED over a dp axis (x tp):
+    admission lands in the owning dp shard (model.prefill_slot_fn masks the
+    non-owners' writes) and outputs match the plain server."""
+    from calm_tpu.parallel import ShardingPlan, make_mesh
+
+    plain = Server(model_path, batch=4)
+    mesh = make_mesh(dp=2, tp=2)
+    shrd = Server(model_path, batch=4, mesh=mesh,
+                  plan=ShardingPlan(dp="dp", tp="tp"))
+    outs = []
+    for srv in (plain, shrd):
+        reqs = [srv.submit(p, max_tokens=8, temperature=0.0)
+                for p in ("hello world", "the quick brown", "pack my box")]
+        srv.run_until_drained(max_ticks=60)
+        assert all(r.done for r in reqs)
+        outs.append([r.text for r in reqs])
+    assert outs[0] == outs[1]
+
+
+def test_dp_sharded_server_mid_flight_admission(model_path):
+    """A request admitted while dp-sharded decode is in flight lands in a
+    shard-owned slot without disturbing running slots."""
+    from calm_tpu.parallel import ShardingPlan, make_mesh
+
+    mesh = make_mesh(dp=2)
+    srv = Server(model_path, batch=2, mesh=mesh, plan=ShardingPlan(dp="dp"))
+    r1 = srv.submit("hello world", max_tokens=12, temperature=0.0)
+    for _ in range(4):
+        srv.tick()
+    r2 = srv.submit("the quick", max_tokens=6, temperature=0.0)
+    srv.run_until_drained(max_ticks=60)
+    assert r1.done and r2.done
+
+    plain = Server(model_path, batch=2)
+    w1 = plain.submit("hello world", max_tokens=12, temperature=0.0)
+    plain.run_until_drained(max_ticks=60)
+    assert w1.text == r1.text
+
+
+def test_prompt_truncation_flag(model_path):
+    """Over-window prompts are clamped AND flagged to the client."""
+    srv = Server(model_path, batch=1)
+    long_prompt = "word " * 300  # >> 64-token window
+    req = srv.submit(long_prompt, max_tokens=2, temperature=0.0)
+    srv.run_until_drained(max_ticks=20)
+    assert req.done
+    assert req.truncated_prompt > 0
+
+
+def test_multihost_dp_serving(model_path):
+    """TWO jax.distributed processes run the continuous-batching loop in
+    lockstep (dp=2 over the process axis, tp=2 inside each process): each
+    admits its own requests, outputs match the single-process server."""
+    import ast
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(__import__("os").environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)  # workers set their own 2-device count
+    workers = [
+        subprocess.Popen(
+            [sys.executable, "tests/multihost_serve_worker.py",
+             str(pid), "2", str(port), model_path],
+            cwd="/root/repo", env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for w in workers:
+        out, err = w.communicate(timeout=600)
+        assert w.returncode == 0, err[-3000:]
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT\t"):
+                _, pid, prompt, text = line.split("\t")
+                results[prompt] = ast.literal_eval(text)
+    assert set(results) == {"hello world", "pack my box",
+                            "the quick brown"}
+
+    plain = Server(model_path, batch=4)
+    for prompt, text in results.items():
+        req = plain.submit(prompt, max_tokens=8, temperature=0.0)
+        plain.run_until_drained(max_ticks=40)
+        assert req.done
+        assert req.text == text, (prompt, req.text, text)
+
+
 def test_prefix_cache_parity(model_path):
     """Two requests sharing a long system-prompt prefix: the second is
     admitted from the prefix cache (only the suffix is prefilled) and must
