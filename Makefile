@@ -4,7 +4,10 @@
 #   make test        -> python test suite (virtual 8-device CPU mesh)
 #   make fuzz-smoke  -> ASan mutation fuzz of the container parser
 #   make bench       -> single-chip decode benchmark (real TPU)
-.PHONY: all native test fuzz-smoke bench clean
+#   make tpu-smoke   -> on-TPU kernel lowering + fast-vs-reference parity
+#                       gate (catches Mosaic-only regressions the CPU
+#                       interpret-mode suite cannot see)
+.PHONY: all native test fuzz-smoke bench tpu-smoke clean
 
 all: native
 
@@ -19,6 +22,9 @@ fuzz-smoke:
 
 bench:
 	python bench.py
+
+tpu-smoke:
+	python tools/tpu_smoke.py
 
 clean:
 	$(MAKE) -C native clean

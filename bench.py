@@ -56,7 +56,7 @@ SHAPES = {
 
 def bench_decode(cfg: ModelConfig, kv_dtype, steps: int, pos0: int,
                  repeats: int = 3, batch: int = 1):
-    w = synth_weights(cfg)
+    w = M.fuse_gf4_weights(synth_weights(cfg), cfg)
     jax.block_until_ready(w)
 
     times = []

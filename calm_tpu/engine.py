@@ -94,7 +94,10 @@ class Engine:
             wkey = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
             w = _WEIGHTS_CACHE.get(wkey)
             if w is None:
-                w = M.load_weights(self.tf, self.cfg)
+                # fused gf4 FFN planes ride in the cached pytree so engines
+                # sharing a container share one copy of them too
+                w = M.fuse_gf4_weights(M.load_weights(self.tf, self.cfg),
+                                       self.cfg)
                 _WEIGHTS_CACHE[wkey] = w
             self.weights = w
         self.batch = batch

@@ -71,6 +71,20 @@ class LayerWeights:
     moegate: Any     # QTensor (L, E, D) or None
     q_norm: Any = None  # (L, q_dim) f32 when cfg.norm_qk (OLMoE), else None
     k_norm: Any = None  # (L, kv_dim) f32 when cfg.norm_qk, else None
+    # fused-gf4 decode layouts (fuse_gf4_weights); None unless the
+    # single-device gf4 decode path is active:
+    # w1p/w3p: (L, 8, H/8, D/8) i32 plane-major, [l, k, c] = w1[l, 8c+k]
+    # w2t:     (L, H/8, D) i32 word-transposed so a word-column tile is a
+    #          CONTIGUOUS slab (the (D, tc) column slice of the natural
+    #          layout reads 1 KB per 5.5 KB row stride — measured slower
+    #          than the 3-call path it replaced)
+    # wqkv:    (L, Q+2*KV, D/8) i32 row-concat of wq/wk/wv: one kernel call
+    #          instead of three (each extra dependent pallas call stalls
+    #          ~12-25 us, docs/PERF_NOTES.md)
+    w1p: Any = None
+    w3p: Any = None
+    w2t: Any = None
+    wqkv: Any = None
 
 
 @_shallow_pytree
@@ -257,6 +271,58 @@ def _is_desc(x):
     return isinstance(x, WeightDesc)
 
 
+def fuse_gf4_weights(w: Weights, cfg: ModelConfig) -> Weights:
+    """Build the plane-major w1/w3 rearrangements that feed the fused gf4
+    FFN kernel (pallas_qmm.gf4_ffn): (L, H, D/8) -> (L, 8, H/8, D/8) with
+    [l, k, c] = w1[l, 8c+k] — a pure row shuffle of the packed words (the
+    TPU analogue of the Metal backend's load-time weight massage,
+    src/infer.m:134-164), done ONCE on device at load. No-op for non-gf4,
+    MoE, or already-fused weights. Costs one extra copy of w1/w3 in HBM
+    (the original stays for prefill's XLA path and tp sharding)."""
+    if (cfg.dtype != "gf4" or cfg.n_experts or w.layers.w1p is not None
+            or cfg.hidden_dim % 8):
+        return w
+    L, H, gd = w.layers.w1.data.shape
+    # the fused layouts duplicate w1/w3/w2/wqkv in HBM (the originals stay
+    # for prefill's fused-XLA path and tp sharding) — skip when the copy
+    # would crowd a 16 GB chip
+    model_bytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
+                      for t in (w.layers.w1.data, w.layers.w2.data,
+                                w.layers.w3.data, w.layers.wq.data,
+                                w.layers.wk.data, w.layers.wv.data,
+                                w.layers.wo.data, w.embed.data))
+    extra = sum(int(np.prod(t.shape)) * t.dtype.itemsize
+                for t in (w.layers.w1.data, w.layers.w3.data,
+                          w.layers.w2.data, w.layers.wq.data,
+                          w.layers.wk.data, w.layers.wv.data))
+    qkv_bytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
+                    for t in (w.layers.wq.data, w.layers.wk.data,
+                              w.layers.wv.data))
+    wqkv = None
+    if model_bytes + qkv_bytes <= 13 * 10**9:
+        wqkv = jnp.concatenate([jnp.asarray(w.layers.wq.data),
+                                jnp.asarray(w.layers.wk.data),
+                                jnp.asarray(w.layers.wv.data)], axis=1)
+    if model_bytes + extra > 12 * 10**9:
+        # ffn copies don't fit (13B-class on a 16 GB chip): qkv-only fusion
+        if wqkv is None:
+            return w
+        return Weights(embed=w.embed,
+                       layers=dataclasses.replace(w.layers, wqkv=wqkv),
+                       final_norm=w.final_norm, output=w.output)
+
+    def planes(d):
+        return jnp.asarray(d).reshape(L, H // 8, 8, gd).transpose(0, 2, 1, 3)
+
+    layers = dataclasses.replace(
+        w.layers, w1p=planes(w.layers.w1.data),
+        w3p=planes(w.layers.w3.data),
+        w2t=jnp.asarray(w.layers.w2.data).transpose(0, 2, 1),
+        wqkv=wqkv)
+    return Weights(embed=w.embed, layers=layers, final_norm=w.final_norm,
+                   output=w.output)
+
+
 def load_weights(tf: TensorFile, cfg: ModelConfig) -> Weights:
     """Wire container tensors into the (host-replicated) device pytree."""
     descs = weight_descs(tf, cfg)
@@ -278,6 +344,28 @@ def load_weights(tf: TensorFile, cfg: ModelConfig) -> Weights:
 
 def _psum(x, axes: tuple[str, ...]):
     return jax.lax.psum(x, axes) if axes else x
+
+
+def _close_residual(y, plan: ShardingPlan, with_ep: bool = False):
+    """Close a row-sharded matvec's partial sum over tp (and ep for MoE).
+
+    plan.rs_ag decomposes the tp all-reduce into reduce-scatter +
+    all-gather along the feature axis: same reduction (bitwise, ring order
+    aside), but two independent collectives that XLA's latency-hiding
+    scheduler can overlap with adjacent compute — the BASELINE's
+    "collectives overlapped with matmul" formulation. ``with_ep`` adds the
+    ep close for the MoE ffn (expert partials are dense over the feature
+    axis, so ep still closes with a psum first).
+    """
+    if with_ep and plan.ep is not None:
+        y = jax.lax.psum(y, plan.ep)
+    if plan.tp is None:
+        return y
+    if plan.rs_ag:
+        part = jax.lax.psum_scatter(y, plan.tp,
+                                    scatter_dimension=y.ndim - 1, tiled=True)
+        return jax.lax.all_gather(part, plan.tp, axis=y.ndim - 1, tiled=True)
+    return jax.lax.psum(y, plan.tp)
 
 
 def pallas_decode_enabled() -> bool:
@@ -555,9 +643,23 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
 
     xb = _norm(cfg, x, row(lw.attn_norm))
 
-    q = qmatmul(xb, lw.wq, layer=layer) + row(lw.bq)
-    k = qmatmul(xb, lw.wk, layer=layer) + row(lw.bk)
-    v = qmatmul(xb, lw.wv, layer=layer) + row(lw.bv)
+    qkv = None
+    if pallas_decode_enabled() and lw.wqkv is not None:
+        from calm_tpu.ops import pallas_qmm
+        if pallas_qmm.supported((B * T, D), lw.wqkv, "gf4"):
+            # fused row-concat qkv: one kernel streams all three
+            # projections (3 dependent calls -> 1, see fuse_gf4_weights)
+            qkv = pallas_qmm.qmm_decode(
+                xb.reshape(B * T, D).astype(jnp.float32), lw.wqkv, "gf4",
+                layer).reshape(B, T, q_local + 2 * kv_local)
+    if qkv is not None:
+        q = qkv[..., :q_local] + row(lw.bq)
+        k = qkv[..., q_local:q_local + kv_local] + row(lw.bk)
+        v = qkv[..., q_local + kv_local:] + row(lw.bv)
+    else:
+        q = qmatmul(xb, lw.wq, layer=layer) + row(lw.bq)
+        k = qmatmul(xb, lw.wk, layer=layer) + row(lw.bk)
+        v = qmatmul(xb, lw.wv, layer=layer) + row(lw.bv)
     if cfg.norm_qk:  # OLMoE: RMSNorm the full q/k vectors before clip/RoPE
         q = _qk_norm(cfg, q, row(lw.q_norm), cfg.q_dim, plan.tp)
         k = _qk_norm(cfg, k, row(lw.k_norm), cfg.kv_dim, plan.tp)
@@ -650,8 +752,7 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
                  if defer else None)
         att = _attention(cfg, q, kc, vc, layer, pos, kv_len, batch_off,
                          fresh=fresh, plan=plan)
-    x = x + _psum(qmatmul(att, lw.wo, layer=layer),
-                  (plan.tp,) if plan.tp else ())
+    x = x + _close_residual(qmatmul(att, lw.wo, layer=layer), plan)
 
     # parallel-norm architectures (Cohere) feed the ffn from the attn-normed
     # input instead of re-normalizing (reference: src/infer.c:417-420)
@@ -659,12 +760,20 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
 
     if cfg.n_experts:
         ffn = _moe_ffn(cfg, xb2, lw, layer, plan)
-        x = x + _psum(ffn, plan.axes)  # close tp (hidden) and ep (experts)
+        x = x + _close_residual(ffn, plan, with_ep=True)  # tp + ep close
     else:
-        h = (_act(cfg, qmatmul(xb2, lw.w1, layer=layer))
-             * qmatmul(xb2, lw.w3, layer=layer))
-        ffn = qmatmul(h, lw.w2, layer=layer)
-        x = x + _psum(ffn, (plan.tp,) if plan.tp else ())
+        ffn = None
+        if pallas_decode_enabled() and lw.w1p is not None:
+            from calm_tpu.ops import pallas_qmm
+            if pallas_qmm.gf4_ffn_supported(xb2.shape, lw.w1p, lw.w2t):
+                ffn = pallas_qmm.gf4_ffn(
+                    xb2.reshape(B * T, D).astype(jnp.float32), lw.w1p,
+                    lw.w3p, lw.w2t, layer, cfg.act_gelu).reshape(B, T, D)
+        if ffn is None:
+            h = (_act(cfg, qmatmul(xb2, lw.w1, layer=layer))
+                 * qmatmul(xb2, lw.w3, layer=layer))
+            ffn = qmatmul(h, lw.w2, layer=layer)
+        x = x + _close_residual(ffn, plan)
 
     # deferred mode: hand the fresh rows (B, KVH, hd) up for the post-scan
     # batched cache write

@@ -143,12 +143,10 @@ def _qmm(x, wdata, layer, fmt: str, interpret: bool):
 
     if fmt == "gf4":
         np8 = n_packed  # = N/8
-        # pre-permute x so plane k aligns with xp[:, k, :] (see kernel doc)
-        import os as _os
-        if _os.environ.get("CALM_GF4_XP") == "skip":  # ABLATION ONLY: wrong math
-            xp = x.astype(jnp.float32).reshape(B, 8, np8)
-        else:
-            xp = x.astype(jnp.float32).reshape(B, np8, 8).transpose(0, 2, 1)
+        # pre-permute x so plane k aligns with xp[:, k, :] (see kernel doc).
+        # (measured: this transpose op costs only ~0.2 ms/tok at 7B — the
+        # gf4 whole-model gap is per-kernel-call overhead, not this)
+        xp = x.astype(jnp.float32).reshape(B, np8, 8).transpose(0, 2, 1)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[
@@ -197,6 +195,160 @@ def qmm_decode(x: jax.Array, wdata: jax.Array, fmt: str,
         wdata = wdata[None]
         layer = jnp.int32(0)
     return _qmm(x, wdata, jnp.asarray(layer, jnp.int32), fmt, _INTERPRET)
+
+
+# ---------------------------------------------------------------------------
+# fused gf4 FFN: w1/w3 + activation + w2 in ONE kernel
+# ---------------------------------------------------------------------------
+
+
+def _gf4_scale(wu):
+    """fp8-e5m2 group-scale byte -> f32 * -0.25 (see module header)."""
+    sf = pltpu.bitcast(((wu & 0x80) << 24) | ((wu & 0x7F) << 21), jnp.float32)
+    return sf * (-0.25 * _REBIAS)
+
+
+def _gf4_plane_dot(x_planes, wu, out_rows):
+    """8-plane gf4 matvec: sum_j x_planes[:, j, :] @ dec_j(wu)^T.
+
+    x_planes (B, 8, G) f32; wu (..., G) u32 with prod(...) == out_rows
+    -> (B, out_rows) f32."""
+    wu = wu.reshape(out_rows, wu.shape[-1])
+    scale = _gf4_scale(wu)
+    acc = None
+    for j in range(8):
+        codes = ((wu >> (8 + 3 * j)) & 7).astype(jnp.int32).astype(jnp.float32)
+        plane = ((codes - 4.0) * scale).astype(jnp.bfloat16)
+        d = jax.lax.dot_general(
+            x_planes[:, j, :].astype(jnp.bfloat16), plane,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    return acc
+
+
+def _gf4_ffn_kernel(lref, xp_ref, w1_ref, w3_ref, w2_ref, o_ref, *,
+                    tc: int, g_h: int, act_gelu: bool):
+    """One grid step handles ``tc`` w2 word-columns == 8*tc hidden rows:
+    h = act(w1_tile @ x) * (w3_tile @ x), then out += dec(w2_cols) @ h.
+
+    The whole FFN streams through ONE pallas_call: Pallas double-buffers
+    the (w1, w3, w2) tiles of step i+1 under step i's decode+dots, so the
+    3 matvecs never hit the dependent-kernel-boundary stall (measured
+    ~15-26 us + a cold first-tile DMA per call: chained 8.4 MB gf4 calls
+    run at 171-218 GB/s vs 361 inside one kernel, docs/PERF_NOTES.md).
+
+    w1/w3 arrive PLANE-MAJOR over hidden: w1p[l, k, c, :] = w1[l, 8c+k, :],
+    so h lands as (B, 8*tc) with h[:, k*tc+c] = h_row(8*(i*tc+c)+k) — plane
+    k of a w2 word-column is the CONTIGUOUS slice h[:, k*tc:(k+1)*tc], no
+    in-kernel lane shuffles (the analogue of the Metal backend's load-time
+    weight massage, reference src/infer.m:134-164).
+    """
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+
+    # h1/h3: (B, 8*tc) in plane-major hidden order
+    h1 = _gf4_plane_dot(xp_ref[:], w1_ref[0], 8 * tc)
+    h3 = _gf4_plane_dot(xp_ref[:], w3_ref[0], 8 * tc)
+    if act_gelu:
+        ga = 0.7978845608028654  # sqrt(2/pi); tanh-approx gelu
+        a = 0.5 * h1 * (1.0 + jnp.tanh(ga * (h1 + 0.044715 * h1 * h1 * h1)))
+    else:
+        a = h1 * (1.0 / (1.0 + jnp.exp(-h1)))  # silu
+    h = a * h3
+
+    # tail mask: word-columns beyond H/8 carry garbage (padded block)
+    col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+    h = jnp.where(i * tc + col % tc < g_h, h, 0.0)
+
+    # w2 word-column tile from the TRANSPOSED (H/8, D) layout: a (tc, D)
+    # CONTIGUOUS slab (column slices of the natural (D, H/8) layout read
+    # 1 KB per row stride — measured a net regression); plane k dots the
+    # contiguous h slice
+    wu2 = pltpu.bitcast(w2_ref[0], jnp.uint32)  # (tc, D)
+    scale2 = _gf4_scale(wu2)
+    acc = None
+    for k in range(8):
+        codes = ((wu2 >> (8 + 3 * k)) & 7).astype(jnp.int32).astype(jnp.float32)
+        plane = ((codes - 4.0) * scale2).astype(jnp.bfloat16)  # (tc, D)
+        d = jax.lax.dot_general(
+            h[:, k * tc:(k + 1) * tc].astype(jnp.bfloat16), plane,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(i > 0)
+    def _():
+        o_ref[:] = o_ref[:] + acc
+    del n_i
+
+
+@functools.partial(jax.jit, static_argnames=("act_gelu", "interpret"))
+def _gf4_ffn(x, w1p, w3p, w2t, layer, act_gelu: bool, interpret: bool):
+    """x (B, D) f32; w1p/w3p (L, 8, H/8, D/8) i32 plane-major; w2t
+    (L, H/8, D) i32 word-transposed (see fuse_gf4_weights) -> (B, D) f32
+    = w2 @ (act(w1 x) * (w3 x))."""
+    B, D = x.shape
+    L, _, g_h, g_d = w1p.shape
+    # tile size: keep the three double-buffered weight slabs ~24 MB
+    tc = 128
+    while (2 * 8 * tc * g_d + tc * D) * 4 * 2 < (24 << 20) and tc * 2 <= g_h:
+        tc *= 2
+    grid = (pl.cdiv(g_h, tc),)
+    xp = x.astype(jnp.float32).reshape(B, g_d, 8).transpose(0, 2, 1)
+    cost = pl.CostEstimate(
+        flops=2 * B * (2 * 8 * g_h * 8 * g_d + D * 8 * g_h),
+        bytes_accessed=(2 * 8 * g_h * g_d + D * g_h) * 4,
+        transcendentals=8 * g_h * B)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 8, g_d), lambda i, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tc, g_d), lambda i, l: (l[0], 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tc, g_d), lambda i, l: (l[0], 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc, D), lambda i, l: (l[0], i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, D), lambda i, l: (0, 0),
+                               memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        functools.partial(_gf4_ffn_kernel, tc=tc, g_h=g_h,
+                          act_gelu=act_gelu),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        cost_estimate=cost,
+        compiler_params=_VMEM_PARAMS,
+        interpret=interpret,
+    )(layer.astype(jnp.int32)[None], xp, w1p, w3p, w2t)
+
+
+def gf4_ffn(x: jax.Array, w1p: jax.Array, w3p: jax.Array, w2t: jax.Array,
+            layer, act_gelu: bool) -> jax.Array:
+    """Fused gf4 FFN (see _gf4_ffn). Layer-stacked weights + traced layer."""
+    return _gf4_ffn(x, w1p, w3p, w2t, jnp.asarray(layer, jnp.int32),
+                    act_gelu, _INTERPRET)
+
+
+def gf4_ffn_supported(x_shape, w1p, w2t) -> bool:
+    """Fused-FFN eligibility: fused layouts present, decode-sized batch."""
+    if w1p is None or w2t is None or w1p.ndim != 4 or w2t.ndim != 3:
+        return False
+    rows = 1
+    for s in x_shape[:-1]:
+        rows *= s
+    if rows > 16:
+        return False
+    L, eight, g_h, g_d = w1p.shape
+    return (eight == 8 and x_shape[-1] == g_d * 8
+            and w2t.shape[1] == g_h)
 
 
 # ---------------------------------------------------------------------------

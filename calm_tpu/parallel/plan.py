@@ -44,6 +44,16 @@ class ShardingPlan:
     sp: str | None = None   # sequence-parallel (prefill) mesh axis name
     pp: str | None = None   # pipeline-parallel mesh axis name (layer stages;
                             # see calm_tpu/parallel/pipeline.py)
+    rs_ag: bool = False     # close the wo/w2 residual psum as
+                            # reduce-scatter + all-gather instead of one
+                            # all-reduce: the two phases each move half an
+                            # all-reduce's ring bytes and give XLA's
+                            # latency-hiding scheduler two independent
+                            # collectives to overlap with neighboring
+                            # compute (BASELINE: "all-reduce/reduce-scatter
+                            # over ICI overlapped with matmul compute").
+                            # Numerically identical reduction; requires
+                            # dim % tp == 0.
 
     @property
     def axes(self) -> tuple[str, ...]:

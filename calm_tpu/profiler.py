@@ -152,3 +152,115 @@ def trace(path: str = "/tmp/calm_tpu_trace"):
         yield path
     finally:
         jax.profiler.stop_trace()
+
+
+@dataclasses.dataclass
+class OpStat:
+    """Aggregated per-op timing from a captured trace (one row of the
+    cudaprof-style table, tools/cudaprof.cu:162-213: count / mean / stddev /
+    total / share)."""
+
+    name: str
+    count: int = 0
+    total_us: float = 0.0
+    _m2: float = 0.0  # sum of squared durations (for the ±std column)
+
+    @property
+    def mean_us(self) -> float:
+        return self.total_us / max(self.count, 1)
+
+    @property
+    def std_us(self) -> float:
+        if self.count < 2:
+            return 0.0
+        var = self._m2 / self.count - self.mean_us ** 2
+        return max(var, 0.0) ** 0.5
+
+
+def parse_trace(trace_dir: str) -> list[OpStat]:
+    """Parse a jax.profiler trace directory into per-op aggregates.
+
+    Reads the Chrome/Perfetto ``*.trace.json(.gz)`` files the profiler
+    writes under ``plugins/profile/<run>/`` and aggregates complete ('X')
+    events on device tracks by name. This automates the attribution the
+    reference gets from its CUPTI injection table — no TensorBoard needed.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+
+    files = sorted(
+        glob.glob(os.path.join(trace_dir, "**", "*.trace.json*"),
+                  recursive=True))
+    stats: dict[str, OpStat] = {}
+    for fn in files:
+        opener = gzip.open if fn.endswith(".gz") else open
+        with opener(fn, "rt") as f:
+            data = json.load(f)
+        events = data.get("traceEvents", [])
+        # device process ids: metadata names mentioning TPU/device (the CPU
+        # backend labels its executor threads differently per version —
+        # fall back to "every pid" if no device pid is found)
+        dev_pids = set()
+        for ev in events:
+            if ev.get("ph") == "M" and ev.get("name") == "process_name":
+                nm = str(ev.get("args", {}).get("name", "")).lower()
+                if ("tpu" in nm or "device" in nm or "/device" in nm
+                        or "xla" in nm):
+                    dev_pids.add(ev.get("pid"))
+        for ev in events:
+            if ev.get("ph") != "X" or "dur" not in ev:
+                continue
+            if dev_pids and ev.get("pid") not in dev_pids:
+                continue
+            name = ev.get("name", "?")
+            st = stats.get(name)
+            if st is None:
+                st = stats[name] = OpStat(name)
+            dur = float(ev["dur"])  # us
+            st.count += 1
+            st.total_us += dur
+            st._m2 += dur * dur
+    return sorted(stats.values(), key=lambda s: -s.total_us)
+
+
+# trace-op-name fragment -> analytic stage key (stage_bytes) for achieved
+# GB/s attribution; pallas kernels carry their python kernel names
+_STAGE_PATTERNS = (
+    ("_layered_gf4_kernel", "gf4 matvec", ("wqkv", "wo", "ffn", "lm_head")),
+    ("_gf4_ffn_kernel", "gf4 fused ffn", ("ffn",)),
+    ("_layered_qmm_kernel", "qmm matvec", ("wqkv", "wo", "ffn", "lm_head")),
+    ("_moe_dense", "moe matvec", ("ffn",)),
+    ("_attn_kernel", "decode attention", ("attn_read_kv",)),
+    ("_prefill_kernel", "prefill attention", ("attn_read_kv",)),
+)
+
+
+def trace_table(trace_dir: str, cfg: ModelConfig | None = None,
+                steps: int = 1, kv_bits: int = 16, pos: int = 0,
+                top: int = 16) -> str:
+    """Format the measured per-op table (the cudaprof.cu:162-213 report):
+    count, mean ± std, total time, share — and, for recognized kernels,
+    achieved GB/s against the analytic per-stage bytes model."""
+    stats = parse_trace(trace_dir)
+    if not stats:
+        return "# trace: no device events found"
+    total = sum(s.total_us for s in stats)
+    stages = (stage_bytes(cfg, kv_bits, pos) if cfg is not None else {})
+    lines = [f"# measured per-op table ({trace_dir}; device total "
+             f"{total / 1000:.2f} ms over {steps} step(s))"]
+    lines.append(f"# {'op':<44} {'calls':>6} {'mean us':>9} {'±std':>7} "
+                 f"{'total ms':>9} {'share':>6}  achieved")
+    for s in stats[:top]:
+        ach = ""
+        for pat, label, keys in _STAGE_PATTERNS:
+            if pat in s.name and stages:
+                b = sum(stages[k] for k in keys if k in stages) * steps
+                ach = f"{b / 1e9 / (s.total_us / 1e6):6.0f} GB/s ({label})"
+                break
+        nm = s.name if len(s.name) <= 44 else s.name[:41] + "..."
+        lines.append(f"# {nm:<44} {s.count:>6} {s.mean_us:>9.1f} "
+                     f"{s.std_us:>7.1f} {s.total_us / 1000:>9.2f} "
+                     f"{100 * s.total_us / total:>5.1f}%  {ach}")
+    return "\n".join(lines)

@@ -99,6 +99,46 @@ def test_layered_kernel(rng, fmt):
         np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("act_gelu", [False, True])
+@pytest.mark.parametrize("b", [1, 4])
+def test_gf4_fused_ffn(rng, act_gelu, b):
+    """The single-call fused FFN (w1/w3 + activation + w2) matches the
+    three-matmul reference, including the plane-major w1/w3 row shuffle
+    and the partial-tail mask (H/8 not a multiple of the tile)."""
+    import jax
+    import jax.numpy as jnp
+
+    L, D, H = 2, 256, 8 * 72  # H/8 = 72: exercises the masked tail
+    w1 = np.stack([quant.quantize(
+        (rng.standard_normal((H, D)) * 0.05).astype(np.float32), "gf4")
+        for _ in range(L)])
+    w3 = np.stack([quant.quantize(
+        (rng.standard_normal((H, D)) * 0.05).astype(np.float32), "gf4")
+        for _ in range(L)])
+    w2 = np.stack([quant.quantize(
+        (rng.standard_normal((D, H)) * 0.05).astype(np.float32), "gf4")
+        for _ in range(L)])
+    x = (rng.standard_normal((b, D)) * 0.5).astype(np.float32)
+
+    def planes(w):
+        return jnp.asarray(w).reshape(L, H // 8, 8, D // 8).transpose(
+            0, 2, 1, 3)
+
+    act = ((lambda v: jax.nn.gelu(v, approximate=True)) if act_gelu
+           else jax.nn.silu)
+    for l in range(L):
+        q1 = qmm.QTensor.from_numpy(w1[l], "gf4")
+        q3 = qmm.QTensor.from_numpy(w3[l], "gf4")
+        q2 = qmm.QTensor.from_numpy(w2[l], "gf4")
+        h = np.asarray(act(qmm.qmatmul(jnp.asarray(x), q1))
+                       * qmm.qmatmul(jnp.asarray(x), q3))
+        want = np.asarray(qmm.qmatmul(jnp.asarray(h), q2))
+        got = np.asarray(pallas_qmm.gf4_ffn(
+            jnp.asarray(x), planes(w1), planes(w3),
+            jnp.asarray(w2).transpose(0, 2, 1), jnp.int32(l), act_gelu))
+        np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
+
+
 @pytest.mark.parametrize("fmt", ["fp16", "fp8", "gf4"])
 def test_moe_dense_kernel(rng, fmt):
     """Dense unique-expert sweep via scalar prefetch matches direct matmuls:
@@ -138,6 +178,39 @@ def test_moe_dense_kernel_per_slot_x(rng, fmt):
                                           planes[int(eidx[a])]))
             np.testing.assert_allclose(got[a, b:b + 1], want,
                                        rtol=3e-2, atol=3e-2)
+
+
+def test_gf4_fused_ffn_in_model(rng):
+    """decode through a gf4 model with fuse_gf4_weights applied (fused FFN
+    kernel path) matches the unfused reference decode."""
+    from calm_tpu import model as M
+    from calm_tpu.config import ModelConfig
+    from calm_tpu.utils.synth import synth_weights
+
+    cfg = ModelConfig(dim=128, hidden_dim=256, head_dim=32, n_layers=2,
+                      n_heads=4, n_kv_heads=2, vocab_size=256, seq_len=32,
+                      rope_theta=10000.0, rotary_dim=32, norm_ln=False,
+                      dtype="gf4")
+    w = synth_weights(cfg)
+    tok = jnp.zeros((1,), jnp.int32)
+    pos = jnp.zeros((1,), jnp.int32)
+
+    cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+    want, _ = M.decode_step_fn(cfg, w, tok, pos, cache)
+
+    wf = M.fuse_gf4_weights(w, cfg)
+    assert wf.layers.w1p is not None
+    qmm.enable_pallas(True)
+    try:
+        from calm_tpu.ops import pallas_attn
+        pallas_attn.set_interpret(True)
+        cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+        got, _ = M.decode_step_fn(cfg, wf, tok, pos, cache)
+    finally:
+        qmm.enable_pallas(False)
+        pallas_attn.set_interpret(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=5e-2)
 
 
 @pytest.mark.parametrize("batch", [1, 4])

@@ -57,6 +57,27 @@ def test_tp2_dense(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("moe", [False, True])
+def test_rs_ag_residual_close_parity(tmp_path, moe):
+    """The reduce-scatter + all-gather decomposition of the wo/w2 residual
+    all-reduce (plan.rs_ag — the overlap-friendly formulation) is
+    numerically equivalent to the single psum."""
+    cfg = tiny_config(dtype="fp16", moe=moe)
+    w = build(tmp_path, cfg)
+    want = reference_logits(cfg, w, TOKENS[:4])
+
+    plan = ShardingPlan(tp="tp", ep="ep" if moe else None, rs_ag=True)
+    mesh = make_mesh(tp=2, ep=2 if moe else 1)
+    ws = shard_weights(w, cfg, mesh, plan)
+    cache = shard_cache(M.KVCache.create(cfg, 1, jnp.float16), mesh, plan)
+    step = sharded_decode_step(cfg, mesh, plan)
+    got = []
+    for pos, tok in enumerate(TOKENS[:4]):
+        logits, cache = step(ws, jnp.array([tok]), jnp.array([pos]), cache)
+        got.append(np.asarray(logits[0]))
+    np.testing.assert_allclose(np.stack(got), want, rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("dtype", ["fp16", "gf4"])
 def test_shard_aware_loading(tmp_path, dtype):
     """load_weights_sharded materializes per-shard slices straight from the

@@ -59,3 +59,32 @@ def test_flops_sane():
     # >= 2 * weight-params touched per token
     f = step_flops(cfg, pos=0)
     assert f > 2 * cfg.n_layers * 3 * cfg.hidden_dim * cfg.dim
+
+
+def test_parse_trace_and_table(tmp_path):
+    """parse_trace aggregates device events from a real captured trace and
+    trace_table formats the cudaprof-style report (count/mean/total/share).
+    Runs on the CPU backend — the parser only needs the Chrome-trace files
+    jax.profiler writes."""
+    import jax
+    import jax.numpy as jnp
+
+    from calm_tpu.profiler import parse_trace, trace, trace_table
+
+    x = jnp.ones((256, 256), jnp.float32)
+    f = jax.jit(lambda a: a @ a + 1.0)
+    np.asarray(f(x))  # compile outside the trace
+    with trace(str(tmp_path / "tr")):
+        for _ in range(3):
+            np.asarray(f(x))
+
+    stats = parse_trace(str(tmp_path / "tr"))
+    assert stats, "no events parsed from the trace"
+    assert all(s.count >= 1 and s.total_us >= 0 for s in stats)
+    # sorted by total time descending
+    totals = [s.total_us for s in stats]
+    assert totals == sorted(totals, reverse=True)
+
+    table = trace_table(str(tmp_path / "tr"), tiny_config(), steps=3)
+    assert "per-op table" in table
+    assert "calls" in table and "share" in table

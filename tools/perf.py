@@ -60,6 +60,7 @@ def main(argv=None):
         w = M.load_weights(tf, cfg)
     else:
         ap.error("need a checkpoint or --synthetic <shape>")
+    w = M.fuse_gf4_weights(w, cfg)
 
     kv_dtype = jnp.float8_e5m2 if cfg.seq_len > 4096 else jnp.bfloat16
     kv_bits = 8 if kv_dtype == jnp.float8_e5m2 else 16
@@ -84,6 +85,11 @@ def main(argv=None):
     ms_tok = best * 1000 / args.steps
     print(roofline_report(cfg, ms_tok, kv_bits, args.pos))
     if args.trace:
+        # measured per-op table parsed from our own trace — the automated
+        # equivalent of the reference's CUPTI report (cudaprof.cu:162-213)
+        from calm_tpu.profiler import trace_table
+        print(trace_table(args.trace, cfg, steps=args.steps,
+                          kv_bits=kv_bits, pos=args.pos))
         print(f"# trace written to {args.trace} (load with TensorBoard)")
 
 

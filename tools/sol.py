@@ -106,8 +106,21 @@ def scaling_report(model: str, dtype: str, ctx: int, pos: int, kv_bits: int,
             + act_bytes * (n - 1) / n / (ICI_GBPS[chip] * 1e6))
         tn = t1 / n + coll
         eff = t1 / (n * tn) * 100.0
+        # rs_ag (plan.rs_ag): the all-reduce splits into reduce-scatter +
+        # all-gather, each moving (n-1)/n of the activation — same total
+        # ring bytes, but the scheduler can hide one phase under the
+        # neighboring matvec's HBM stream; model the bound where the
+        # all-gather overlaps fully and only the reduce-scatter (plus one
+        # latency) stays exposed
+        coll_ov = 2 * cfg.n_layers * (
+            COLL_LAT_US["ici"] / 1e3
+            + 0.5 * act_bytes * (n - 1) / n / (ICI_GBPS[chip] * 1e6))
+        tn_ov = t1 / n + coll_ov
+        eff_ov = t1 / (n * tn_ov) * 100.0
         print(f"  tp={n} (ICI): {1000.0 / tn:7.1f} tok/s/stream, "
-              f"scaling efficiency {eff:5.1f}%")
+              f"scaling efficiency {eff:5.1f}% "
+              f"(rs_ag overlap bound: {1000.0 / tn_ov:.1f} tok/s, "
+              f"{eff_ov:.1f}%)")
 
     # 2 hosts over DCN: dp (independent streams — embarrassingly parallel,
     # aggregate tokens/s doubles) and ep for MoE (routing psum crosses DCN)

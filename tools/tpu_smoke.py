@@ -1,0 +1,110 @@
+"""TPU smoke lane: tiny on-hardware kernel-lowering + parity gate.
+
+Interpret-mode tests can't see Mosaic lowering rules (docs/PERF_NOTES.md:
+the %128 gate and the batched-MoE block shapes were both broken ON HARDWARE
+ONLY while the CPU suite stayed green). This script runs the real kernels
+on the attached TPU in under a couple of minutes:
+
+  - every weight format (fp16 / fp8 / fp8e4 / gf4) decodes through its fast
+    path (Pallas or fused-XLA) on llama- and llama2-geometry shapes, B=1
+    and B=4, plus a gf4 MoE model (dense unique-expert kernel)
+  - each result is cross-checked against the jnp reference path
+    (enable_pallas(False)) to ~1e-2 — a silently-wrong fast path fails
+  - greedy decode hash must be identical across two runs (determinism)
+
+Run: make tpu-smoke   (or: python tools/tpu_smoke.py)
+Exit code 0 = all clear.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from calm_tpu import model as M  # noqa: E402
+from calm_tpu.config import ModelConfig  # noqa: E402
+from calm_tpu.ops import qmm  # noqa: E402
+from calm_tpu.utils.synth import synth_weights  # noqa: E402
+
+
+def tiny_cfg(dtype: str, hidden: int, moe: bool = False) -> ModelConfig:
+    # hidden/8 deliberately NOT lane-aligned for the llama2-geometry case:
+    # 344 words — the class of shape the %128 gate silently mis-routed
+    kw = dict(n_experts=4, n_experts_ac=2) if moe else {}
+    return ModelConfig(dim=256, hidden_dim=hidden, head_dim=64, n_layers=2,
+                       n_heads=4, n_kv_heads=2, vocab_size=512, seq_len=64,
+                       rope_theta=10000.0, rotary_dim=64, norm_ln=False,
+                       dtype=dtype, **kw)
+
+
+def decode(cfg, w, batch: int, steps: int = 6):
+    cache = M.KVCache.create(cfg, batch, jnp.bfloat16)
+    tok = jnp.arange(batch, dtype=jnp.int32) % 7
+    pos = jnp.zeros((batch,), jnp.int32)
+    toks, _, logits = M.decode_scan(cfg, w, tok, pos, cache, steps)
+    return np.asarray(toks), np.asarray(logits[-1], np.float32)
+
+
+def main() -> int:
+    if jax.default_backend() != "tpu":
+        print("tpu_smoke: no TPU attached (backend="
+              f"{jax.default_backend()}) — nothing to check", file=sys.stderr)
+        return 0
+    dev = jax.devices()[0]
+    print(f"# tpu_smoke on {dev.device_kind}")
+    failures = 0
+
+    cases = [
+        ("fp16", 512, False), ("fp8", 512, False), ("fp8e4", 512, False),
+        ("gf4", 512, False), ("gf4", 2752, False),  # 2752/8=344: unaligned
+        ("gf4", 512, True),  # MoE dense unique-expert kernel
+    ]
+    for dtype, hidden, moe in cases:
+        for batch in (1, 4):
+            tag = f"{dtype} hidden={hidden}{' moe' if moe else ''} B={batch}"
+            cfg = tiny_cfg(dtype, hidden, moe)
+            w = M.fuse_gf4_weights(synth_weights(cfg), cfg)
+            try:
+                qmm.enable_pallas(True)
+                toks_fast, logits_fast = decode(cfg, w, batch)
+                toks_fast2, logits_fast2 = decode(cfg, w, batch)
+                qmm.enable_pallas(False)
+                toks_ref, logits_ref = decode(cfg, w, batch)
+            except Exception as e:  # noqa: BLE001 — report, keep sweeping
+                print(f"FAIL {tag}: {type(e).__name__}: {e}")
+                failures += 1
+                continue
+            finally:
+                qmm.enable_pallas(jax.default_backend() == "tpu")
+            h1 = M.logits_hash(logits_fast)
+            h2 = M.logits_hash(logits_fast2)
+            if h1 != h2:
+                print(f"FAIL {tag}: nondeterministic hash "
+                      f"#{h1:08x} vs #{h2:08x}")
+                failures += 1
+                continue
+            # fast path vs jnp reference: same argmax chain and close logits
+            rel = (np.abs(logits_fast - logits_ref)
+                   / (np.abs(logits_ref).max() + 1e-6)).max()
+            if not np.array_equal(toks_fast, toks_ref) and rel > 5e-2:
+                print(f"FAIL {tag}: fast path diverges from reference "
+                      f"(max rel err {rel:.3f}, tokens differ)")
+                failures += 1
+                continue
+            print(f"ok   {tag}  #{h1:08x}  (rel err {rel:.4f})")
+
+    if failures:
+        print(f"tpu_smoke: {failures} FAILURE(S)", file=sys.stderr)
+        return 1
+    print("tpu_smoke: all clear")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
