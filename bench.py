@@ -66,7 +66,8 @@ def bench_decode(cfg: ModelConfig, kv_dtype, steps: int, pos0: int,
         token = jnp.zeros((batch,), jnp.int32)
         start = jnp.full((batch,), pos0, jnp.int32)
         t0 = time.perf_counter()
-        toks, cache, _ = M.decode_scan(cfg, w, token, start, cache, steps)
+        toks, cache, _ = M.decode_scan(cfg, w, token, start, cache, steps,
+                                       rolling=pos0 + steps >= cfg.seq_len)
         # force a tiny device->host copy: on the axon platform
         # block_until_ready returns before execution finishes
         import numpy as np

@@ -166,7 +166,8 @@ class Engine:
         """One decode step; returns f32 logits on host."""
         out, self.cache = M.decode_step(
             self.cfg, self.weights, jnp.array([token], jnp.int32),
-            jnp.array([pos], jnp.int32), self.cache)
+            jnp.array([pos], jnp.int32), self.cache,
+            rolling=pos + 1 >= self.cfg.seq_len)
         return np.asarray(out[0], np.float32)
 
     # -- modes ---------------------------------------------------------------
@@ -239,17 +240,20 @@ class Engine:
             stopped = False
             while not stopped and (pos < steps or steps < 0):
                 n = CHUNK if steps < 0 else max(1, min(CHUNK, steps - pos))
+                # chunks that cannot reach the window edge compile to the
+                # cheaper non-rolling program (no sink-rotation ops)
+                roll = pos + pos_offset + n >= self.cfg.seq_len
                 if greedy:
                     toks_d, self.cache, logits_d = M.decode_scan(
                         self.cfg, self.weights, jnp.array([token], jnp.int32),
                         jnp.array([pos + pos_offset], jnp.int32),
-                        self.cache, n)
+                        self.cache, n, rolling=roll)
                 else:
                     key, sub = jax.random.split(key)
                     toks_d, self.cache, logits_d = M.decode_scan_sampled(
                         self.cfg, self.weights, jnp.array([token], jnp.int32),
                         jnp.array([pos + pos_offset], jnp.int32),
-                        self.cache, n, sub, temps, minps)
+                        self.cache, n, sub, temps, minps, rolling=roll)
                 chunk_toks = np.asarray(toks_d[0])
                 for i, nxt in enumerate(chunk_toks):
                     read_bytes += self.n_bandwidth
@@ -414,7 +418,8 @@ def chat_loop(engine: Engine, system_prompt: str = "", cli_prompt: str | None = 
                 toks_d, engine.cache, _ = M.decode_scan_sampled(
                     engine.cfg, engine.weights, jnp.array([token], jnp.int32),
                     jnp.array([pos], jnp.int32), engine.cache, CHUNK,
-                    sub, temps, minps)
+                    sub, temps, minps,
+                    rolling=pos + CHUNK >= engine.cfg.seq_len)
                 chunk = [int(t) for t in np.asarray(toks_d[0])]
             else:
                 chunk = [sampler.sample(engine.step(token, pos))]

@@ -875,11 +875,18 @@ def decode_indices(cfg: ModelConfig, pos):
 
 
 def decode_step_fn(cfg: ModelConfig, w: Weights, token, pos, cache: KVCache,
-                   plan: ShardingPlan = NO_SHARDING):
-    """One token for each sequence slot: token (B,), pos (B,) -> logits (B, V)."""
+                   plan: ShardingPlan = NO_SHARDING, rolling: bool = True):
+    """One token for each sequence slot: token (B,), pos (B,) -> logits (B, V).
+
+    ``rolling=False`` (static) compiles out the per-layer sink-rotation ops
+    — callers that KNOW the whole chunk stays below seq_len (host sees pos)
+    pick the cheaper program, like the reference's host-side wrap branch
+    (src/infer.cu:677). With pos < seq_len the two variants are
+    numerically identical (the rotation is a no-op write there)."""
     kv_pos, kv_len = decode_indices(cfg, pos)
     return _forward(cfg, w, token[:, None], pos[:, None], kv_pos[:, None],
-                    kv_len, cache, rolling=True, logits_mode="last", plan=plan)
+                    kv_len, cache, rolling=rolling, logits_mode="last",
+                    plan=plan)
 
 
 def prefill_fn(cfg: ModelConfig, w: Weights, tokens, pos0, cache: KVCache,
@@ -899,7 +906,8 @@ def prefill_fn(cfg: ModelConfig, w: Weights, tokens, pos0, cache: KVCache,
 def decode_scan_sampled_fn(cfg: ModelConfig, w: Weights, token, pos0,
                            cache: KVCache, n_steps: int, key,
                            temperature, minp,
-                           plan: ShardingPlan = NO_SHARDING):
+                           plan: ShardingPlan = NO_SHARDING,
+                           rolling: bool = True):
     """Sampled decode of n_steps tokens entirely on device: min-p sampling
     (calm_tpu.sampler.device_sample) runs inside the scan, so the host sees
     only the final (B, N) token ids — no per-token logits transfer. key is a
@@ -908,7 +916,8 @@ def decode_scan_sampled_fn(cfg: ModelConfig, w: Weights, token, pos0,
 
     def body(carry, _):
         tok, pos, cache, key = carry
-        logits, cache = decode_step_fn(cfg, w, tok, pos, cache, plan)
+        logits, cache = decode_step_fn(cfg, w, tok, pos, cache, plan,
+                                       rolling)
         key, sub = jax.random.split(key)
         nxt = device_sample(logits, sub, temperature, minp)
         return (nxt, pos + 1, cache, key), (nxt, logits)
@@ -919,7 +928,8 @@ def decode_scan_sampled_fn(cfg: ModelConfig, w: Weights, token, pos0,
 
 
 decode_scan_sampled = jax.jit(
-    decode_scan_sampled_fn, static_argnames=("cfg", "n_steps", "plan"),
+    decode_scan_sampled_fn,
+    static_argnames=("cfg", "n_steps", "plan", "rolling"),
     donate_argnames=("cache",))
 
 
@@ -966,7 +976,8 @@ def greedy_next(logits, plan: ShardingPlan = NO_SHARDING):
 
 
 def decode_scan_fn(cfg: ModelConfig, w: Weights, token, pos0, cache: KVCache,
-                   n_steps: int, plan: ShardingPlan = NO_SHARDING):
+                   n_steps: int, plan: ShardingPlan = NO_SHARDING,
+                   rolling: bool = True):
     """Greedy-decode n_steps tokens entirely on device.
 
     One compiled program produces N tokens — the TPU counterpart of the
@@ -979,7 +990,8 @@ def decode_scan_fn(cfg: ModelConfig, w: Weights, token, pos0, cache: KVCache,
     """
     def body(carry, _):
         tok, pos, cache = carry
-        logits, cache = decode_step_fn(cfg, w, tok, pos, cache, plan)
+        logits, cache = decode_step_fn(cfg, w, tok, pos, cache, plan,
+                                       rolling)
         nxt = greedy_next(logits, plan)
         return (nxt, pos + 1, cache), (nxt, logits)
 
@@ -1036,14 +1048,15 @@ def prefill_slot_fn(cfg: ModelConfig, w: Weights, tokens, n_valid, slot,
     return last, KVCache(k, v)
 
 
-decode_step = jax.jit(decode_step_fn, static_argnames=("cfg", "plan"),
+decode_step = jax.jit(decode_step_fn,
+                      static_argnames=("cfg", "plan", "rolling"),
                       donate_argnames=("cache",))
 prefill_slot = jax.jit(prefill_slot_fn, static_argnames=("cfg", "plan"),
                        donate_argnames=("cache",))
 prefill = jax.jit(prefill_fn, static_argnames=("cfg", "logits_mode", "plan"),
                   donate_argnames=("cache",))
 decode_scan = jax.jit(decode_scan_fn,
-                      static_argnames=("cfg", "n_steps", "plan"),
+                      static_argnames=("cfg", "n_steps", "plan", "rolling"),
                       donate_argnames=("cache",))
 
 

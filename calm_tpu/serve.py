@@ -403,7 +403,8 @@ class Server:
         else:
             logits, eng.cache = M.decode_step(
                 eng.cfg, eng.weights,
-                jnp.asarray(self._tokens), jnp.asarray(self._pos), eng.cache)
+                jnp.asarray(self._tokens), jnp.asarray(self._pos), eng.cache,
+                rolling=bool(np.any(self._pos + 1 >= eng.cfg.seq_len)))
 
         if self.device_sampling:
             from calm_tpu.sampler import device_sample

@@ -122,7 +122,8 @@ def speculative_generate(target: Engine, draft: Engine, prompt: str = "",
         # 1) draft proposes `budget` tokens (one device program)
         d_toks, draft.cache, _ = M.decode_scan(
             draft.cfg, draft.weights, jnp.array([token], jnp.int32),
-            jnp.array([pos + pos_offset], jnp.int32), draft.cache, budget)
+            jnp.array([pos + pos_offset], jnp.int32), draft.cache, budget,
+            rolling=False)  # the window-edge guard above keeps us below S
         proposal = [int(t) for t in np.asarray(d_toks[0])]
         read_bytes += budget * draft.n_bandwidth
 
@@ -249,7 +250,7 @@ def _speculative_sampled(target: Engine, draft: Engine, prompt: str,
         d_toks, draft.cache, d_logits = M.decode_scan_sampled(
             draft.cfg, draft.weights, jnp.array([token], jnp.int32),
             jnp.array([pos + pos_offset], jnp.int32), draft.cache, budget,
-            sub, temps, minps)
+            sub, temps, minps, rolling=False)
         proposal = [int(t) for t in np.asarray(d_toks[0])]
         d_logits = np.asarray(d_logits[:, 0], np.float32)  # (budget, V)
         read_bytes += budget * draft.n_bandwidth
