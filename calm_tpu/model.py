@@ -414,7 +414,8 @@ def _embed(cfg: ModelConfig, embed: QTensor, tokens, plan: ShardingPlan):
 
 
 def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
-               batch_off=None, fresh=None, plan: ShardingPlan = NO_SHARDING):
+               batch_off=None, fresh=None, plan: ShardingPlan = NO_SHARDING,
+               pt=None):
     """GQA attention over the (possibly rolled) cache — fully head-local
     (cache is sharded over kv-heads under tp, so no collective here).
 
@@ -432,7 +433,7 @@ def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
     position-agnostic post-RoPE (reference: src/infer.c:330-332).
     """
     B, T, H, hd = q.shape
-    KVH, S = kc.shape[2], kc.shape[3]
+    KVH = kc.shape[2]
     M = H // KVH
     sp_decode = plan.sp is not None and T == 1
 
@@ -442,14 +443,25 @@ def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
         from calm_tpu.ops import pallas_attn
         out = pallas_attn.decode_attention(
             qf[:, 0].reshape(B, KVH * M, hd), kc, vc, kv_len, layer,
-            jnp.int32(0) if batch_off is None else batch_off, fresh=fresh)
+            jnp.int32(0) if batch_off is None else batch_off, fresh=fresh,
+            pt=pt)
         return out.reshape(B, T, H * hd)
 
     k_cache = jax.lax.dynamic_index_in_dim(kc, layer, 0, keepdims=False)
     v_cache = jax.lax.dynamic_index_in_dim(vc, layer, 0, keepdims=False)
-    if batch_off is not None:
+    if pt is not None:
+        # jnp oracle for the paged layout: gather slot pages back to a
+        # dense (B, KVH, n_blocks*PR, hd) view (off the hot path)
+        PR = kc.shape[3]
+        nb = pt.shape[1]
+        k_cache = (k_cache[pt].transpose(0, 2, 1, 3, 4)
+                   .reshape(B, KVH, nb * PR, hd))
+        v_cache = (v_cache[pt].transpose(0, 2, 1, 3, 4)
+                   .reshape(B, KVH, nb * PR, hd))
+    elif batch_off is not None:
         k_cache = jax.lax.dynamic_slice_in_dim(k_cache, batch_off, B, axis=0)
         v_cache = jax.lax.dynamic_slice_in_dim(v_cache, batch_off, B, axis=0)
+    S = k_cache.shape[2]
 
     # fast (TPU) mode: bf16 operands + f32 accumulation ride the MXU at
     # full rate; the precise f32 path remains the test oracle off-TPU
@@ -620,7 +632,7 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
 
 def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
            kv_len, kv_dtype, rolling: bool, rope, plan: ShardingPlan,
-           batch_off=None):
+           batch_off=None, pt=None):
     """One transformer layer on a (B, T, D) activation wave.
 
     kc/vc: the FULL (L, B, KVH_local, S, hd) caches, updated in place at
@@ -682,7 +694,18 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
     # B=1 and 2.5 at B=8 (measured by no-write ablation).
     sp_decode = plan.sp is not None and T == 1
     defer = T == 1 and pallas_decode_enabled() and not sp_decode
-    if sp_decode:
+    if pt is not None and not defer:
+        # paged write: logical row kv_pos lives in page pt[b, row // PR]
+        PR = kc.shape[3]
+        for b in range(B):
+            lp = kv_pos[b, 0]
+            page = pt[b, lp // PR]
+            rix = lp % PR
+            kc = jax.lax.dynamic_update_slice(
+                kc, kh[:, b:b + 1], (layer, page, 0, rix, 0))
+            vc = jax.lax.dynamic_update_slice(
+                vc, vh[:, b:b + 1], (layer, page, 0, rix, 0))
+    elif sp_decode:
         # cache rows are S-sharded over sp: only the shard owning global
         # row kv_pos writes it (others rewrite their own current row)
         S_local = kc.shape[3]
@@ -712,7 +735,20 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
             vc = jax.lax.dynamic_update_slice(
                 vc, vh[:, b:b + 1], (layer, boff + b, 0, kv_pos[b, 0], 0))
 
-    if rolling:
+    if rolling and pt is not None:
+        # paged sink rotation: each slot's sinks live in its OWN page 0
+        for b in range(B):
+            page0 = pt[b, 0]
+            s5 = jax.lax.dynamic_slice(
+                kc, (layer, page0, 0, 0, 0), (1, 1, KVH, KV_SINKS, hd))
+            sink = s5[0].transpose(0, 2, 1, 3).astype(jnp.float32)
+            rotated = apply_rope(sink, cos1[b:b + 1], sin1[b:b + 1])
+            wrapped = pos[b, -1] >= cfg.seq_len
+            upd = (jnp.where(wrapped, rotated, sink).transpose(0, 2, 1, 3)
+                   .astype(kv_dtype)[None])
+            kc = jax.lax.dynamic_update_slice(kc, upd,
+                                              (layer, page0, 0, 0, 0))
+    elif rolling:
         # rotate sink keys forward by one position so their relative RoPE
         # phase tracks the sliding window (reference: src/infer.c:383-394)
         sink5 = jax.lax.dynamic_slice(
@@ -751,7 +787,7 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         fresh = ((kh[0, :, :, 0, :], vh[0, :, :, 0, :], kv_pos[:, 0])
                  if defer else None)
         att = _attention(cfg, q, kc, vc, layer, pos, kv_len, batch_off,
-                         fresh=fresh, plan=plan)
+                         fresh=fresh, plan=plan, pt=pt)
     x = x + _close_residual(qmatmul(att, lw.wo, layer=layer), plan)
 
     # parallel-norm architectures (Cohere) feed the ffn from the attn-normed
@@ -798,7 +834,7 @@ def _rope_tables(cfg: ModelConfig, pos, batch: int):
 def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
                 cache: KVCache, rolling: bool, rope,
                 plan: ShardingPlan,
-                batch_off=None) -> tuple[jax.Array, KVCache]:
+                batch_off=None, pt=None) -> tuple[jax.Array, KVCache]:
     """The layer-stack scan on an embedded activation wave; the cache's
     leading axis defines how many (local) layers run — under pipeline
     parallelism each stage holds and runs only its layer shard."""
@@ -809,7 +845,7 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
         x, kc, vc = carry
         x, kc, vc, fresh = _layer(cfg, x, w.layers, layer, kc, vc, pos,
                                   kv_pos, kv_len, kv_dtype, rolling, rope,
-                                  plan, batch_off)
+                                  plan, batch_off, pt)
         return (x, kc, vc), fresh
 
     unroll = min(LAYER_UNROLL, n_layers)
@@ -826,13 +862,17 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
         fk, fv = fresh  # (L_local, B, KVH, hd) stacked by the scan
         boff = jnp.int32(0) if batch_off is None else batch_off
         B = x.shape[0]
+        PR = cache.k.shape[3]
         for b in range(B):
             rows_k = fk[:, b:b + 1, :, None, :]  # (L, 1, KVH, 1, hd)
             rows_v = fv[:, b:b + 1, :, None, :]
-            k_new = jax.lax.dynamic_update_slice(
-                k_new, rows_k, (0, boff + b, 0, kv_pos[b, 0], 0))
-            v_new = jax.lax.dynamic_update_slice(
-                v_new, rows_v, (0, boff + b, 0, kv_pos[b, 0], 0))
+            if pt is not None:
+                lp = kv_pos[b, 0]
+                loc = (0, pt[b, lp // PR], 0, lp % PR, 0)
+            else:
+                loc = (0, boff + b, 0, kv_pos[b, 0], 0)
+            k_new = jax.lax.dynamic_update_slice(k_new, rows_k, loc)
+            v_new = jax.lax.dynamic_update_slice(v_new, rows_v, loc)
 
     return x, KVCache(k_new, v_new)
 
@@ -851,12 +891,12 @@ def _head(cfg: ModelConfig, w: Weights, x, logits_mode: str):
 
 def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,
              cache: KVCache, rolling: bool, logits_mode: str,
-             plan: ShardingPlan = NO_SHARDING):
+             plan: ShardingPlan = NO_SHARDING, pt=None):
     """Shared forward: tokens/pos/kv_pos (B, T), kv_len (B,)."""
     x = _embed(cfg, w.embed, tokens, plan)  # (B, T, D)
     rope = _rope_tables(cfg, pos, tokens.shape[0])
     x, cache = _run_layers(cfg, w, x, pos, kv_pos, kv_len, cache,
-                           rolling, rope, plan)
+                           rolling, rope, plan, pt=pt)
     return _head(cfg, w, x, logits_mode), cache
 
 

@@ -141,21 +141,34 @@ def _attn_body(sref, q_ref, k_ref, v_ref, fk_ref, fv_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
-                      interpret: bool, fresh=None):
+                      interpret: bool, fresh=None, pt=None):
+    """``pt`` (B, n_blocks) int32 switches to PAGED mode: the cache's
+    second axis is a physical page pool (L, P, KVH, PR, hd) and logical
+    S-block j of slot b streams from page pt[b, j] — the page table rides
+    in the scalar-prefetch operand and redirects the kv BlockSpec index
+    map; the kernel body is unchanged (TPU-native paging uses
+    attention-block-SIZED pages so per-step DMAs stay multi-MB, unlike
+    GPU-style 16-row pages)."""
     B, H, hd = q.shape
-    _, _, KVH, S, _ = k_cache.shape
+    _, _, KVH, S_or_PR, _ = k_cache.shape
     M = H // KVH
     kv_fp8 = k_cache.dtype == jnp.float8_e5m2
+    paged = pt is not None
 
     # big KV blocks measure ~3x the HBM throughput of 512-row blocks on v5e
     # (small per-step DMAs cannot hide the grid-step overhead); all kv-heads
     # ride in one (KVH, bs, hd) block per step — 434 -> 536 GB/s at B=8.
     # Cap the fused block at ~8 MiB so MHA models (large KVH) still fit two
     # double-buffered k+v blocks in VMEM.
-    bs = min(2048, S)
-    while KVH * bs * hd * k_cache.dtype.itemsize > (8 << 20) and bs > 256:
-        bs //= 2
-    n_s = pl.cdiv(S, bs)
+    if paged:
+        bs = S_or_PR          # page size IS the block size
+        n_s = pt.shape[1]
+    else:
+        S = S_or_PR
+        bs = min(2048, S)
+        while KVH * bs * hd * k_cache.dtype.itemsize > (8 << 20) and bs > 256:
+            bs //= 2
+        n_s = pl.cdiv(S, bs)
     scale = 1.0 / math.sqrt(hd)
 
     qkv = q.reshape(B, KVH, M, hd)
@@ -163,10 +176,20 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
     def q_map(b, s, sref):
         return (b, 0, 0, 0)
 
-    def kv_map(b, s, sref):
-        # park dead blocks on block 0: already resident, no HBM traffic
-        live = s * bs < sref[b + 2]
-        return (sref[0], sref[1] + b, 0, jnp.where(live, s, 0), 0)
+    if paged:
+        # pt entries live after [layer, batch_off, kv_len x B
+        # (, kv_pos x B in fresh mode)]
+        pt_off = 2 + B + (B if fresh is not None else 0)
+
+        def kv_map(b, s, sref, pt_off=pt_off, n_s=n_s):
+            # page-table redirect; dead blocks carry the slot's page 0 so
+            # they re-hit the resident tile (host fills them that way)
+            return (sref[0], sref[pt_off + b * n_s + s], 0, 0, 0)
+    else:
+        def kv_map(b, s, sref):
+            # park dead blocks on block 0: already resident, no HBM traffic
+            live = s * bs < sref[b + 2]
+            return (sref[0], sref[1] + b, 0, jnp.where(live, s, 0), 0)
 
     def o_map(b, s, sref):
         return (b, 0, 0, 0)
@@ -192,6 +215,8 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
         sref_parts.append(kv_pos.astype(jnp.int32))
         kern = functools.partial(_attn_kernel_fresh, bs=bs, scale=scale,
                                  kv_fp8=kv_fp8, kvh=KVH, n_b=B)
+    if paged:
+        sref_parts.append(pt.astype(jnp.int32).reshape(-1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -218,7 +243,7 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
 
 
 def decode_attention(q, k_cache, v_cache, kv_len, layer=None, batch_off=0,
-                     fresh=None):
+                     fresh=None, pt=None):
     """q (B, H, hd) f32; caches (L, B_full, KVH, S, hd) with scalar ``layer``
     selecting the plane (or (B, KVH, S, hd) for a single-layer cache);
     local q row b attends cache row batch_off + b; kv_len (B,) ->
@@ -228,6 +253,10 @@ def decode_attention(q, k_cache, v_cache, kv_len, layer=None, batch_off=0,
     deferred-write mode — the current token's rows are supplied directly
     (NOT read from the cache, whose row kv_pos may hold a stale rolled
     entry); the caller batches the actual cache write after the layer scan.
+
+    ``pt`` (B, n_blocks) int32: PAGED mode — caches are a page pool
+    (L, P, KVH, page_rows, hd) and slot b's logical block j streams from
+    page pt[b, j] (see calm_tpu/paged.py).
     """
     if k_cache.ndim == 4:
         k_cache, v_cache = k_cache[None], v_cache[None]
@@ -235,7 +264,7 @@ def decode_attention(q, k_cache, v_cache, kv_len, layer=None, batch_off=0,
     return _decode_attention(q, k_cache, v_cache, kv_len,
                              jnp.asarray(layer, jnp.int32),
                              jnp.asarray(batch_off, jnp.int32), _INTERPRET,
-                             fresh=fresh)
+                             fresh=fresh, pt=pt)
 
 
 # ---------------------------------------------------------------------------

@@ -99,6 +99,42 @@ def main() -> int:
                 continue
             print(f"ok   {tag}  #{h1:08x}  (rel err {rel:.4f})")
 
+    # paged KV: the page-table BlockSpec redirect must lower on Mosaic and
+    # match the dense path token-for-token
+    from calm_tpu import paged as P
+    cfg = tiny_cfg("fp8", 512)
+    w = synth_weights(cfg)
+    qmm.enable_pallas(True)
+    try:
+        cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+        _, cache = M.prefill(cfg, w, jnp.asarray([[1, 5, 9]], jnp.int32),
+                             jnp.zeros((1,), jnp.int32), cache,
+                             logits_mode="none")
+        tokd, posd, dense_seq = 2, 3, []
+        for _ in range(5):
+            lg, cache = M.decode_step(cfg, w, jnp.array([tokd]),
+                                      jnp.array([posd]), cache)
+            tokd = int(np.argmax(np.asarray(lg[0])))
+            posd += 1
+            dense_seq.append(tokd)
+
+        dec = P.PagedDecoder(cfg, w, n_pages=4, page_rows=32, batch=1)
+        assert dec.admit(0, [1, 5, 9, 2])
+        paged_seq = []
+        for _ in range(5):
+            lg = dec.step()
+            nxt = int(np.argmax(lg[0]))
+            paged_seq.append(nxt)
+            dec.slots[0].token = nxt
+        if paged_seq == dense_seq:
+            print(f"ok   paged kv (page_rows=32)  {paged_seq}")
+        else:
+            print(f"FAIL paged kv: {paged_seq} != dense {dense_seq}")
+            failures += 1
+    except Exception as e:  # noqa: BLE001
+        print(f"FAIL paged kv: {type(e).__name__}: {e}")
+        failures += 1
+
     if failures:
         print(f"tpu_smoke: {failures} FAILURE(S)", file=sys.stderr)
         return 1
