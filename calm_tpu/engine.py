@@ -115,6 +115,10 @@ class Engine:
 
         if kv_dtype is None:
             kv_dtype = "fp8" if self.cfg.seq_len > 4096 else "bf16"
+        if kv_dtype == "fp16" and jax.default_backend() == "tpu":
+            # Mosaic has no f16: the TPU fast path stores KV in bf16 (same
+            # width; the CPU oracle keeps true fp16 for reference parity)
+            kv_dtype = "bf16"
         self.kv_dtype = kv_dtype
         self._kv_jnp = {"fp8": jnp.float8_e5m2, "bf16": jnp.bfloat16,
                         "fp16": jnp.float16}[kv_dtype]

@@ -177,23 +177,31 @@ class PagedDecoder:
         sink = M.KV_SINKS
         return sink + (pos - sink) % (S - sink)
 
+    def ensure_capacity(self, b: int) -> bool:
+        """Grow slot b's pages to cover its next write row. False when the
+        pool is dry — the caller decides the pressure policy (the server
+        finishes the request early and flags it; see serve.Server)."""
+        s = self.slots[b]
+        if not s.active:
+            return True
+        blk = self._write_row(s.pos) // self.page_rows
+        while len(s.pages) <= blk:  # grow across a block boundary
+            got = self._alloc(1)
+            if got is None:
+                return False
+            s.pages.extend(got)
+            self._sync_pt_row(b)
+        return True
+
     def step(self) -> np.ndarray:
         """One decode step for every slot; returns logits (B, V) on host.
         Inactive slots decode garbage at their parked position (page 0 of
         their row; masked on reuse — same contract as the dense server).
         Raises RuntimeError when an active slot needs a page and the pool
-        is dry (the caller should have sized the pool for its admission
-        policy)."""
-        for b, s in enumerate(self.slots):
-            if not s.active:
-                continue
-            blk = self._write_row(s.pos) // self.page_rows
-            while len(s.pages) <= blk:  # grow across a block boundary
-                got = self._alloc(1)
-                if got is None:
-                    raise RuntimeError("page pool exhausted mid-decode")
-                s.pages.extend(got)
-                self._sync_pt_row(b)
+        is dry (call ensure_capacity first to apply a gentler policy)."""
+        for b in range(self.batch):
+            if not self.ensure_capacity(b):
+                raise RuntimeError("page pool exhausted mid-decode")
         tokens = jnp.asarray([s.token for s in self.slots], jnp.int32)
         pos = jnp.asarray([s.pos for s in self.slots], jnp.int32)
         rolling = bool(any(s.pos + 1 >= self.cfg.seq_len for s in self.slots

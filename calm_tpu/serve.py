@@ -58,6 +58,8 @@ class Request:
     truncated_prompt: int = 0  # prompt tokens dropped to fit the window
                                # (left at 0 when the prompt fit; clients can
                                # check instead of being silently clipped)
+    out_of_pages: bool = False  # paged mode: finished early under pool
+                                # pressure (generation cut short)
     submitted_at: float = 0.0
     first_token_at: float = 0.0
     finished_at: float = 0.0
@@ -166,7 +168,8 @@ class Server:
     def __init__(self, path: str, batch: int = 4, context: int = 0,
                  kv_dtype: str | None = None, device_sampling: bool = False,
                  seed: int = 42, mesh=None, plan=None,
-                 prefix_cache_tokens: int = 0):
+                 prefix_cache_tokens: int = 0,
+                 page_rows: int = 0, pool_pages: int = 0):
         # optional sharded execution: weights/cache placed on the mesh, the
         # decode/prefill steps run under shard_map (continuous batching on a
         # tp/ep-sharded model; scale hosts with jax.distributed + dp shards)
@@ -198,11 +201,26 @@ class Server:
         per = batch // self._nproc if self._nproc > 1 else batch
         self._own_lo = self._pid * per
         self._own_hi = batch if self._nproc == 1 else (self._pid + 1) * per
+        # paged KV mode (calm_tpu/paged.py): slots draw attention-block-
+        # sized pages from a shared pool — HBM follows the sum of live
+        # context lengths instead of batch x seq_len. Unsharded, host
+        # sampling (the paged decode core owns slot state).
+        self._paged = None
+        if page_rows:
+            assert not self._sharded, "paged KV is single-device for now"
+            assert not device_sampling, "paged mode samples host-side"
+            from calm_tpu.paged import PagedDecoder
+            eng = self.engine
+            if not pool_pages:
+                pool_pages = batch * (eng.cfg.seq_len // page_rows)
+            self._paged = PagedDecoder(eng.cfg, eng.weights, pool_pages,
+                                       page_rows, eng._kv_jnp, batch)
+            eng.cache = None  # the pool replaces the dense cache
         # prompt prefix sharing (unsharded only: cached rows are host-managed
         # device blocks; the sharded cache would need per-shard row copies)
         self.prefix_cache = (PrefixCache(prefix_cache_tokens)
                              if prefix_cache_tokens and not self._sharded
-                             else None)
+                             and not page_rows else None)
         self.slots = [_Slot() for _ in range(batch)]
         self.pending: deque[Request] = deque()
         self._next_rid = 0
@@ -278,6 +296,10 @@ class Server:
                 req.truncated_prompt = len(toks) - (eng.cfg.seq_len - 1)
                 toks = toks[: eng.cfg.seq_len - 1]
 
+            if self._paged is not None and not self._paged.admit(b, toks):
+                self.pending.appendleft(req)  # pool full: retry next tick
+                break
+
             slot.active = True
             slot.req = req
             slot.sampler = Sampler(eng.cfg.vocab_size, req.seed,
@@ -290,6 +312,8 @@ class Server:
             self._tokens[b] = slot.token
             self._pos[b] = slot.pos
 
+            if self._paged is not None:
+                continue  # admission prefill already ran in the pool
             if len(toks) > 1:
                 pre = toks[:-1]
                 hit = 0
@@ -396,7 +420,29 @@ class Server:
             return
 
         eng = self.engine
-        if self._sharded:
+        if self._paged is not None:
+            now0 = time.perf_counter()
+            for b, slot in enumerate(self.slots):  # keep decode core synced
+                if not slot.active:
+                    continue
+                self._paged.slots[b].token = slot.token
+                if not self._paged.ensure_capacity(b):
+                    # pool pressure: finish this request early with what it
+                    # has (flagged) instead of stalling the whole batch
+                    req = slot.req
+                    req.text = slot.out.decode("utf-8", errors="replace")
+                    req.out_of_pages = True
+                    req.done = True
+                    req.finished_at = now0
+                    slot.active = False
+                    slot.req = None
+                    self._temps[b] = 0.0
+                    self._minps[b] = 1.0
+                    self._paged.release(b)
+            if not any(s.active for s in self.slots):
+                return
+            logits = self._paged.step()
+        elif self._sharded:
             logits, eng.cache = self._decode_fn(
                 eng.weights, self._global_batch_arr(self._tokens),
                 self._global_batch_arr(self._pos), eng.cache)
@@ -448,3 +494,5 @@ class Server:
                 slot.req = None
                 self._temps[b] = 0.0  # park the slot greedy; its garbage
                 self._minps[b] = 1.0  # decodes are masked on reuse
+                if self._paged is not None:
+                    self._paged.release(b)  # pages back to the pool

@@ -224,6 +224,40 @@ def test_multihost_dp_serving(model_path):
         assert req.text == text, (prompt, req.text, text)
 
 
+def test_paged_server_parity(model_path):
+    """Server(page_rows=...) decodes over the shared page pool and matches
+    the dense server text-for-text; a pool smaller than batch x seq_len
+    serves requests by recycling released pages."""
+    plain = Server(model_path, batch=2, kv_dtype="fp16")
+    # 4 pages x 16 rows = 64 rows total vs dense 2 x 64 = 128
+    pg = Server(model_path, batch=2, kv_dtype="fp16",
+                page_rows=16, pool_pages=4)
+    outs = []
+    for srv in (plain, pg):
+        r1 = srv.submit("hello world", max_tokens=8, temperature=0.0)
+        r2 = srv.submit("the quick", max_tokens=8, temperature=0.0)
+        r3 = srv.submit("pack my box", max_tokens=6, temperature=0.0)
+        srv.run_until_drained(max_ticks=80)
+        assert r1.done and r2.done and r3.done
+        outs.append((r1.text, r2.text, r3.text))
+    assert outs[0] == outs[1]
+    assert pg._paged.pages_in_use() == 0  # everything released
+
+
+def test_paged_server_pool_pressure(model_path):
+    """When a slot needs a page and the pool is dry, the request finishes
+    early with out_of_pages set instead of crashing the batch."""
+    srv = Server(model_path, batch=2, kv_dtype="fp16",
+                 page_rows=16, pool_pages=2)
+    r1 = srv.submit("hello world am a long prompt", max_tokens=40,
+                    temperature=0.0)
+    r2 = srv.submit("the quick brown fox jumps", max_tokens=40,
+                    temperature=0.0)
+    srv.run_until_drained(max_ticks=120)
+    assert r1.done and r2.done
+    assert r1.out_of_pages or r2.out_of_pages
+
+
 def test_prefix_cache_parity(model_path):
     """Two requests sharing a long system-prompt prefix: the second is
     admitted from the prefix cache (only the suffix is prefilled) and must
