@@ -38,6 +38,8 @@ def main(argv=None):
     ap.add_argument("-n", dest="steps", type=int, default=32)
     ap.add_argument("--ctx", type=int, default=4096)
     ap.add_argument("--pos", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="decode slots (attribute batched-serving glue)")
     ap.add_argument("--trace", default=None,
                     help="write a jax.profiler trace to this directory")
     args = ap.parse_args(argv)
@@ -66,11 +68,13 @@ def main(argv=None):
     kv_bits = 8 if kv_dtype == jnp.float8_e5m2 else 16
 
     def run():
-        cache = M.KVCache.create(cfg, 1, kv_dtype)
-        tok = jnp.zeros((1,), jnp.int32)
-        pos = jnp.full((1,), args.pos, jnp.int32)
+        cache = M.KVCache.create(cfg, args.batch, kv_dtype)
+        tok = jnp.zeros((args.batch,), jnp.int32)
+        pos = jnp.full((args.batch,), args.pos, jnp.int32)
         t0 = time.perf_counter()
-        toks, _, _ = M.decode_scan(cfg, w, tok, pos, cache, args.steps)
+        toks, _, _ = M.decode_scan(
+            cfg, w, tok, pos, cache, args.steps,
+            rolling=args.pos + args.steps >= cfg.seq_len)
         np.asarray(toks)
         return time.perf_counter() - t0
 
