@@ -20,7 +20,7 @@ import os
 import sys
 import time
 import weakref
-from typing import Callable, Iterable
+from typing import Callable
 
 import jax.numpy as jnp
 import numpy as np

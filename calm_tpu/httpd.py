@@ -173,11 +173,16 @@ def main(argv=None):
     ap.add_argument("--kv", default=None, choices=["bf16", "fp16", "fp8"])
     ap.add_argument("--prefix-cache-tokens", type=int, default=0)
     ap.add_argument("--device-sampling", action="store_true")
+    ap.add_argument("--page-rows", type=int, default=0,
+                    help="paged KV: rows per page (0 = dense cache)")
+    ap.add_argument("--pool-pages", type=int, default=0,
+                    help="paged KV: pool size (default batch*seq_len/rows)")
     args = ap.parse_args(argv)
 
     server = Server(args.checkpoint, batch=args.batch, context=args.context,
                     kv_dtype=args.kv, device_sampling=args.device_sampling,
-                    prefix_cache_tokens=args.prefix_cache_tokens)
+                    prefix_cache_tokens=args.prefix_cache_tokens,
+                    page_rows=args.page_rows, pool_pages=args.pool_pages)
     print(server.engine.banner())
     httpd = serve_http(server, args.host, args.port)
     print(f"# serving on http://{args.host}:{httpd.server_address[1]} "

@@ -37,7 +37,7 @@ from calm_tpu.config import ModelConfig
 from calm_tpu.container import TensorFile
 from calm_tpu.ops.norms import rmsnorm
 from calm_tpu.ops.qmm import QTensor, embed_lookup, qmatmul
-from calm_tpu.ops.rope import apply_rope, rope_interleaved, rope_tables
+from calm_tpu.ops.rope import apply_rope, rope_tables
 from calm_tpu.parallel.plan import NO_SHARDING, ShardingPlan
 
 KV_SINKS = 2  # attention sinks kept live in the rolling window
@@ -279,9 +279,22 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig) -> Weights:
     src/infer.m:134-164), done ONCE on device at load. No-op for non-gf4,
     MoE, or already-fused weights. Costs one extra copy of w1/w3 in HBM
     (the original stays for prefill's XLA path and tp sharding)."""
-    if (cfg.dtype != "gf4" or cfg.n_experts or w.layers.w1p is not None
-            or cfg.hidden_dim % 8):
+    if (cfg.dtype != "gf4" or w.layers.w1p is not None
+            or w.layers.wqkv is not None or cfg.hidden_dim % 8):
         return w
+    if cfg.n_experts:
+        # MoE: the ffn fused layouts would duplicate E experts' weights
+        # (doesn't fit: 4-expert mixtral-geometry gf4 is already 11 GB);
+        # the qkv row-concat is small and still saves 2 calls/layer
+        return Weights(
+            embed=w.embed,
+            layers=dataclasses.replace(
+                w.layers,
+                wqkv=jnp.concatenate([jnp.asarray(w.layers.wq.data),
+                                      jnp.asarray(w.layers.wk.data),
+                                      jnp.asarray(w.layers.wv.data)],
+                                     axis=1)),
+            final_norm=w.final_norm, output=w.output)
     L, H, gd = w.layers.w1.data.shape
     # the fused layouts duplicate w1/w3/w2/wqkv in HBM (the originals stay
     # for prefill's fused-XLA path and tp sharding) — skip when the copy
