@@ -248,3 +248,38 @@ def test_calm_cpu_env(tmp_path):
     r = subprocess.run([_sys.executable, "-c", code], capture_output=True,
                        text=True, cwd="/root/repo", timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
+
+
+def test_generate_across_window_edge(tmp_path):
+    """A generation crossing seq_len switches from the non-rolling chunk
+    program to the rolling one mid-stream and matches the per-step loop
+    (the host-side wrap branch, reference src/run.c:208 + infer.cu:677)."""
+    from calm_tpu import model as M
+    from calm_tpu.engine import Engine
+
+    cfg = tiny_config(dtype="fp16", seq_len=32)
+    path = str(tmp_path / "edge.calm")
+    write_tiny_model(path, cfg, seed=11)
+    eng = Engine(path, kv_dtype="fp16")
+
+    eng.reset()
+    fast = eng.generate("AB", steps=40, temperature=0.0)
+
+    eng.reset()
+    toks = eng.tokenizer.encode("AB", bos=True)
+    for pos in range(len(toks) - 1):
+        eng.step(toks[pos], pos)
+    pos = len(toks) - 1
+    token = toks[-1]
+    stops = (eng.tokenizer.bos_id, eng.tokenizer.eos_id,
+             eng.tokenizer.eot_id)
+    logits = None
+    while pos < 40:
+        logits = eng.step(token, pos)
+        pos += 1
+        nxt = int(np.argmax(logits))
+        if nxt in stops:
+            break
+        token = nxt
+    assert fast.tokens == pos
+    assert fast.logits_hash == M.logits_hash(logits)
