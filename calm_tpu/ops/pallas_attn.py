@@ -231,10 +231,15 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
     )
 
     sref = jnp.concatenate(sref_parts)
+    kv_bytes = 2 * B * KVH * n_s * bs * hd * k_cache.dtype.itemsize
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, M, hd), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * hd * n_s * bs,
+            bytes_accessed=kv_bytes + 8 * B * H * hd,
+            transcendentals=B * H * n_s * bs),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -163,6 +163,10 @@ class OpStat:
     name: str
     count: int = 0
     total_us: float = 0.0
+    bytes: int = 0    # summed bytes_accessed from the event args (the
+                      # compiler's own estimate; pallas kernels carry their
+                      # cost_estimate through) — drives the achieved-GB/s
+                      # column without analytic guesswork
     _m2: float = 0.0  # sum of squared durations (for the ±std column)
 
     @property
@@ -222,18 +226,23 @@ def parse_trace(trace_dir: str) -> list[OpStat]:
             st.count += 1
             st.total_us += dur
             st._m2 += dur * dur
+            try:
+                st.bytes += int(ev.get("args", {}).get("bytes_accessed", 0))
+            except (TypeError, ValueError):
+                pass
     return sorted(stats.values(), key=lambda s: -s.total_us)
 
 
 # trace-op-name fragment -> analytic stage key (stage_bytes) for achieved
-# GB/s attribution; pallas kernels carry their python kernel names
+# GB/s attribution. Pallas custom calls appear in the trace under their
+# JITTED WRAPPER names (e.g. `_gf4_ffn.5`, `_qmm.18`, `_decode_attention.5`
+# — verified on hardware), not the kernel-body function names.
 _STAGE_PATTERNS = (
-    ("_layered_gf4_kernel", "gf4 matvec", ("wqkv", "wo", "ffn", "lm_head")),
-    ("_gf4_ffn_kernel", "gf4 fused ffn", ("ffn",)),
-    ("_layered_qmm_kernel", "qmm matvec", ("wqkv", "wo", "ffn", "lm_head")),
-    ("_moe_dense", "moe matvec", ("ffn",)),
-    ("_attn_kernel", "decode attention", ("attn_read_kv",)),
-    ("_prefill_kernel", "prefill attention", ("attn_read_kv",)),
+    ("_gf4_ffn", "gf4 fused ffn", ("ffn",)),
+    ("_qmm_moe_dense", "moe expert matvec", ("ffn",)),
+    ("_qmm.", "gf4 matvec (qkv/wo/head)", ("wqkv", "wo", "lm_head")),
+    ("_decode_attention", "decode attention", ("attn_read_kv",)),
+    ("_prefill_attention", "prefill attention", ("attn_read_kv",)),
 )
 
 
@@ -241,24 +250,27 @@ def trace_table(trace_dir: str, cfg: ModelConfig | None = None,
                 steps: int = 1, kv_bits: int = 16, pos: int = 0,
                 top: int = 16) -> str:
     """Format the measured per-op table (the cudaprof.cu:162-213 report):
-    count, mean ± std, total time, share — and, for recognized kernels,
-    achieved GB/s against the analytic per-stage bytes model."""
+    count, mean ± std, total time, share, achieved GB/s from each event's
+    own bytes_accessed, and a stage label for recognized kernels."""
     stats = parse_trace(trace_dir)
     if not stats:
         return "# trace: no device events found"
     total = sum(s.total_us for s in stats)
-    stages = (stage_bytes(cfg, kv_bits, pos) if cfg is not None else {})
+    del cfg, kv_bits, pos  # kept for API stability; bytes come from the trace
     lines = [f"# measured per-op table ({trace_dir}; device total "
              f"{total / 1000:.2f} ms over {steps} step(s))"]
     lines.append(f"# {'op':<44} {'calls':>6} {'mean us':>9} {'±std':>7} "
                  f"{'total ms':>9} {'share':>6}  achieved")
     for s in stats[:top]:
         ach = ""
-        for pat, label, keys in _STAGE_PATTERNS:
-            if pat in s.name and stages:
-                b = sum(stages[k] for k in keys if k in stages) * steps
-                ach = f"{b / 1e9 / (s.total_us / 1e6):6.0f} GB/s ({label})"
-                break
+        if s.total_us and s.bytes / max(s.count, 1) >= 1e6:
+            # only attribute ops that actually move memory (control-flow
+            # wrappers carry token-sized bytes_accessed)
+            ach = f"{s.bytes / 1e9 / (s.total_us / 1e6):6.0f} GB/s"
+            for pat, label, _keys in _STAGE_PATTERNS:
+                if pat in s.name:
+                    ach += f" ({label})"
+                    break
         nm = s.name if len(s.name) <= 44 else s.name[:41] + "..."
         lines.append(f"# {nm:<44} {s.count:>6} {s.mean_us:>9.1f} "
                      f"{s.std_us:>7.1f} {s.total_us / 1000:>9.2f} "
