@@ -5,7 +5,9 @@ process axis x tp=2 within each process), admits its OWN requests, and
 samples only its local logits rows — the multi-host continuous-batching
 path (BASELINE north star; the reference is single-sequence single-GPU).
 
-Usage: multihost_serve_worker.py <pid> <nproc> <port> <model.calm>
+Usage: multihost_serve_worker.py <pid> <nproc> <port> <model.calm> [device]
+(the optional 5th arg switches to on-device sampling — token ids cross to
+each host instead of logits rows)
 """
 
 import os
@@ -13,6 +15,7 @@ import sys
 
 pid, nproc, port, model = (int(sys.argv[1]), int(sys.argv[2]),
                            sys.argv[3], sys.argv[4])
+device_sampling = len(sys.argv) > 5 and sys.argv[5] == "device"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -39,7 +42,8 @@ for i, row in enumerate(arr):
 mesh = Mesh(arr, ("dp", "tp"))
 
 srv = Server(model, batch=4, mesh=mesh,
-             plan=ShardingPlan(dp="dp", tp="tp"))
+             plan=ShardingPlan(dp="dp", tp="tp"),
+             device_sampling=device_sampling)
 
 prompts = {0: ["hello world", "pack my box"], 1: ["the quick brown"]}[pid]
 reqs = [srv.submit(p, max_tokens=8, temperature=0.0) for p in prompts]

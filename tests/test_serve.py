@@ -258,6 +258,49 @@ def test_paged_server_pool_pressure(model_path):
     assert r1.out_of_pages or r2.out_of_pages
 
 
+def test_multihost_dp_serving_device_sampling(model_path):
+    """2-process dp serving with ON-DEVICE greedy sampling: only (B,) token
+    ids cross to each host; per-process local rows reassemble the batch."""
+    import ast
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(__import__("os").environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    workers = [
+        subprocess.Popen(
+            [sys.executable, "tests/multihost_serve_worker.py",
+             str(pid), "2", str(port), model_path, "device"],
+            cwd="/root/repo", env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    results = {}
+    for w in workers:
+        out, err = w.communicate(timeout=600)
+        assert w.returncode == 0, err[-3000:]
+        for line in out.splitlines():
+            if line.startswith("RESULT\t"):
+                _, pid, prompt, text = line.split("\t")
+                results[prompt] = ast.literal_eval(text)
+    assert len(results) == 3
+
+    # greedy on-device sampling matches the plain server's greedy output
+    plain = Server(model_path, batch=4)
+    for prompt, text in results.items():
+        req = plain.submit(prompt, max_tokens=8, temperature=0.0)
+        plain.run_until_drained(max_ticks=40)
+        assert req.done
+        assert req.text == text, (prompt, req.text, text)
+
+
 def test_prefix_cache_parity(model_path):
     """Two requests sharing a long system-prompt prefix: the second is
     admitted from the prefix cache (only the suffix is prefilled) and must
