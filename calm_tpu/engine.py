@@ -95,9 +95,14 @@ class Engine:
             w = _WEIGHTS_CACHE.get(wkey)
             if w is None:
                 # fused gf4 FFN planes ride in the cached pytree so engines
-                # sharing a container share one copy of them too
+                # sharing a container share one copy of them too; reserve
+                # the KV cache + activation headroom when tiering fusion
+                kvb = (1 if self.cfg.seq_len > 4096 else 2)
+                reserve = (2 * self.cfg.n_layers * self.cfg.kv_dim
+                           * self.cfg.seq_len * batch * kvb
+                           + 1_000_000_000)
                 w = M.fuse_gf4_weights(M.load_weights(self.tf, self.cfg),
-                                       self.cfg)
+                                       self.cfg, reserve_bytes=reserve)
                 _WEIGHTS_CACHE[wkey] = w
             self.weights = w
         self.batch = batch

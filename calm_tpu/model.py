@@ -271,7 +271,8 @@ def _is_desc(x):
     return isinstance(x, WeightDesc)
 
 
-def fuse_gf4_weights(w: Weights, cfg: ModelConfig) -> Weights:
+def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
+                     reserve_bytes: int = 0) -> Weights:
     """Build the plane-major w1/w3 rearrangements that feed the fused gf4
     FFN kernel (pallas_qmm.gf4_ffn): (L, H, D/8) -> (L, 8, H/8, D/8) with
     [l, k, c] = w1[l, 8c+k] — a pure row shuffle of the packed words (the
@@ -297,8 +298,12 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig) -> Weights:
             final_norm=w.final_norm, output=w.output)
     L, H, gd = w.layers.w1.data.shape
     # the fused layouts duplicate w1/w3/w2/wqkv in HBM (the originals stay
-    # for prefill's fused-XLA path and tp sharding) — skip when the copy
-    # would crowd a 16 GB chip
+    # for prefill's fused-XLA path and tp sharding) — tier down when the
+    # copies would crowd the chip. ``reserve_bytes`` is the caller's KV
+    # cache + activation budget (the Engine passes its actual cache size:
+    # 13B gf4 takes FULL fusion with fp8 KV but only qkv fusion with the
+    # 3.3 GiB bf16 MHA cache)
+    HBM_BUDGET = 14_500_000_000  # v5e usable HBM, minus compiler slack
     model_bytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
                       for t in (w.layers.w1.data, w.layers.w2.data,
                                 w.layers.w3.data, w.layers.wq.data,
@@ -311,13 +316,14 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig) -> Weights:
     qkv_bytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
                     for t in (w.layers.wq.data, w.layers.wk.data,
                               w.layers.wv.data))
+    budget = HBM_BUDGET - reserve_bytes
     wqkv = None
-    if model_bytes + qkv_bytes <= 13 * 10**9:
+    if model_bytes + qkv_bytes <= budget:
         wqkv = jnp.concatenate([jnp.asarray(w.layers.wq.data),
                                 jnp.asarray(w.layers.wk.data),
                                 jnp.asarray(w.layers.wv.data)], axis=1)
-    if model_bytes + extra > 12 * 10**9:
-        # ffn copies don't fit (13B-class on a 16 GB chip): qkv-only fusion
+    if model_bytes + extra > budget:
+        # ffn copies don't fit: qkv-only fusion (or none)
         if wqkv is None:
             return w
         return Weights(embed=w.embed,
