@@ -163,3 +163,49 @@ def test_logits_hash():
     # deterministic and sensitive
     assert h == M.logits_hash(x)
     assert h != M.logits_hash(x + 1)
+
+
+def test_fuse_gf4_budget_tiers(tmp_path):
+    """fuse_gf4_weights tiers by the caller's reserve: full fusion when the
+    copies + reserve fit, qkv-only when only the ffn copies don't, none
+    when even wqkv won't fit."""
+    import jax.numpy as jnp
+
+    from calm_tpu import container
+    from calm_tpu import model as M
+    from tests.modelgen import tiny_config, write_tiny_model
+
+    cfg = tiny_config(dtype="gf4")
+    path = str(tmp_path / "m.calm")
+    write_tiny_model(path, cfg)
+    w = M.load_weights(container.TensorFile(path), cfg)
+
+    full = M.fuse_gf4_weights(w, cfg, reserve_bytes=0)
+    assert full.layers.w1p is not None and full.layers.wqkv is not None
+
+    big = 14_500_000_000  # the whole budget: nothing fits
+    none = M.fuse_gf4_weights(w, cfg, reserve_bytes=big)
+    assert none.layers.w1p is None and none.layers.wqkv is None
+
+    # reserve sized so wqkv fits but the ffn copies do not
+    import numpy as np
+    model_bytes = sum(
+        int(np.prod(t.shape)) * t.dtype.itemsize
+        for t in (w.layers.w1.data, w.layers.w2.data, w.layers.w3.data,
+                  w.layers.wq.data, w.layers.wk.data, w.layers.wv.data,
+                  w.layers.wo.data, w.embed.data))
+    qkv_bytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
+                    for t in (w.layers.wq.data, w.layers.wk.data,
+                              w.layers.wv.data))
+    mid = big - model_bytes - qkv_bytes - 1
+    partial = M.fuse_gf4_weights(w, cfg, reserve_bytes=mid)
+    assert partial.layers.wqkv is not None and partial.layers.w1p is None
+
+    # fused weights still decode identically (pallas off: fused unused,
+    # same numerics; the pallas path is covered in test_pallas_qmm)
+    cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+    want, _ = M.decode_step_fn(cfg, w, jnp.array([3]), jnp.array([0]), cache)
+    cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+    got, _ = M.decode_step_fn(cfg, full, jnp.array([3]), jnp.array([0]),
+                              cache)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
