@@ -43,11 +43,14 @@ def tiny_cfg(dtype: str, hidden: int, moe: bool = False) -> ModelConfig:
                        dtype=dtype, **kw)
 
 
-def decode(cfg, w, batch: int, steps: int = 6):
-    cache = M.KVCache.create(cfg, batch, jnp.bfloat16)
+def decode(cfg, w, batch: int, steps: int = 6, kv_dtype=jnp.bfloat16,
+           pos0: int = 0):
+    cache = M.KVCache.create(cfg, batch, kv_dtype)
     tok = jnp.arange(batch, dtype=jnp.int32) % 7
-    pos = jnp.zeros((batch,), jnp.int32)
-    toks, _, logits = M.decode_scan(cfg, w, tok, pos, cache, steps)
+    pos = jnp.full((batch,), pos0, jnp.int32)
+    toks, _, logits = M.decode_scan(
+        cfg, w, tok, pos, cache, steps,
+        rolling=pos0 + steps >= cfg.seq_len)
     return np.asarray(toks), np.asarray(logits[-1], np.float32)
 
 
@@ -98,6 +101,36 @@ def main() -> int:
                 failures += 1
                 continue
             print(f"ok   {tag}  #{h1:08x}  (rel err {rel:.4f})")
+
+    # fp8 KV (in-kernel decode) + the ROLLING window program (sink rotation
+    # lowering) on hardware: decode across the seq_len edge, fast path vs
+    # reference
+    for dtype, kvd, kvname in (("fp8", jnp.float8_e5m2, "fp8kv"),
+                               ("gf4", jnp.bfloat16, "rolling")):
+        cfg = tiny_cfg(dtype, 512)
+        w = M.fuse_gf4_weights(synth_weights(cfg), cfg)
+        pos0 = cfg.seq_len - 3  # crosses the window edge mid-scan
+        try:
+            qmm.enable_pallas(True)
+            toks_fast, logits_fast = decode(cfg, w, 1, kv_dtype=kvd,
+                                            pos0=pos0)
+            qmm.enable_pallas(False)
+            toks_ref, logits_ref = decode(cfg, w, 1, kv_dtype=kvd,
+                                          pos0=pos0)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {dtype} {kvname} edge-crossing: "
+                  f"{type(e).__name__}: {e}")
+            failures += 1
+            continue
+        finally:
+            qmm.enable_pallas(jax.default_backend() == "tpu")
+        rel = (np.abs(logits_fast - logits_ref)
+               / (np.abs(logits_ref).max() + 1e-6)).max()
+        if not np.array_equal(toks_fast, toks_ref) and rel > 5e-2:
+            print(f"FAIL {dtype} {kvname} edge-crossing: rel err {rel:.3f}")
+            failures += 1
+        else:
+            print(f"ok   {dtype} {kvname} edge-crossing  (rel err {rel:.4f})")
 
     # paged KV: the page-table BlockSpec redirect must lower on Mosaic and
     # match the dense path token-for-token
