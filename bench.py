@@ -126,10 +126,16 @@ def main(argv=None):
     kv_bits = 8 if args.kv == "fp8" else 16
     total_bytes, bw_bytes = weight_bytes(cfg)
 
+    if args.ctx < 2 * args.steps + 1:
+        ap.error(f"--ctx must be >= 2*steps+1 ({2 * args.steps + 1}) so the "
+                 "last32 slope window fits inside the context")
+
     results = {}
     # the slope covers tokens at positions [pos0+steps, pos0+2*steps): put
-    # that marginal window at the protocol's early/late positions
-    for name, pos0 in (("first32", min(2000, args.ctx // 2) - args.steps),
+    # that marginal window at the protocol's early/late positions (clamped
+    # so tiny contexts never feed negative positions into decode_indices)
+    for name, pos0 in (("first32",
+                        max(0, min(2000, args.ctx // 2) - args.steps)),
                        ("last32", args.ctx - 2 * args.steps - 1)):
         secs, _ = bench_decode(cfg, kv_dtype, args.steps, pos0,
                                batch=args.batch)
@@ -150,20 +156,27 @@ def main(argv=None):
     print(f"# chip: {topo.device_kind} (SoL {topo.hbm_gbps_per_chip} GB/s); "
           f"model {args.model} {args.dtype} ({total_bytes / 2**30:.1f} GiB)",
           file=sys.stderr)
-    if topo.device_kind == "TPU v5 lite":
-        # a pure-DMA Pallas kernel measures 645-695 GB/s on this chip
-        # (docs/PERF_NOTES.md) — the physically attainable ceiling; the
-        # headline metric stays relative to nominal like the reference's
-        print(f"# vs measured-attainable ceiling (~690 GB/s): "
-              f"{100.0 * gb_s / 690.0:.1f}%", file=sys.stderr)
+    # a pure-DMA Pallas kernel measures 645-695 GB/s on v5e
+    # (docs/PERF_NOTES.md) — the physically attainable ceiling. The nominal
+    # 819 GB/s is NOT reachable by any program on this chip; report both so
+    # the headline (nominal, reference-comparable) can be read against what
+    # the silicon actually delivers.
+    attainable = 690.0 if topo.device_kind == "TPU v5 lite" else None
+    if attainable:
+        print(f"# vs measured-attainable ceiling (~{attainable:.0f} GB/s): "
+              f"{100.0 * gb_s / attainable:.1f}%", file=sys.stderr)
 
     # reference sustains ~92% of peak HBM bandwidth on this metric (BASELINE.md)
-    print(json.dumps({
+    out = {
         "metric": f"pct_hbm_sol_{args.model}_{args.dtype}_decode",
         "value": round(pct_sol, 2),
         "unit": "% of HBM speed-of-light",
         "vs_baseline": round(pct_sol / 92.0, 4),
-    }))
+    }
+    if attainable:
+        out["pct_of_attainable_ceiling"] = round(100.0 * gb_s / attainable, 2)
+        out["attainable_ceiling_gbps"] = attainable
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

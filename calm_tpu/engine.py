@@ -87,20 +87,42 @@ class Engine:
         self.tf = TensorFile(path)
         self.cfg = ModelConfig.from_metadata(self.tf.metadata, context)
         self.tokenizer = Tokenizer.from_container(self.tf)
+
+        # resolve the KV dtype BEFORE the fusion-budget decision: the fused
+        # gf4 layouts compete with the real cache for HBM, so the reserve
+        # must use the cache that will actually be allocated (an explicit
+        # kv_dtype="bf16" at long context doubles it vs the >4096 default)
+        if kv_dtype is None:
+            kv_dtype = "fp8" if self.cfg.seq_len > 4096 else "bf16"
+        if kv_dtype == "fp16" and jax.default_backend() == "tpu":
+            # Mosaic has no f16: the TPU fast path stores KV in bf16 (same
+            # width; the CPU oracle keeps true fp16 for reference parity)
+            kv_dtype = "bf16"
+        self.kv_dtype = kv_dtype
+        self._kv_jnp = {"fp8": jnp.float8_e5m2, "bf16": jnp.bfloat16,
+                        "fp16": jnp.float16}[kv_dtype]
+        self.kv_bits = 8 if kv_dtype == "fp8" else 16
+
         if lazy_weights:
             self.weights = None
         else:
+            # fused gf4 FFN planes ride in the cached pytree so engines
+            # sharing a container share one copy of them too; reserve the
+            # KV cache + activation headroom when tiering fusion
+            reserve = (2 * self.cfg.n_layers * self.cfg.kv_dim
+                       * self.cfg.seq_len * batch * (self.kv_bits // 8)
+                       + 1_000_000_000)
             st = os.stat(path)
-            wkey = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+            # the reserve is part of the key exactly when it can change the
+            # pytree (gf4 dense fusion tiers): a tier computed for one
+            # batch/context must not be silently reused by a later Engine
+            # whose larger cache leaves less HBM for fused weight copies.
+            # Other formats fuse nothing — they share across any context.
+            tiered = self.cfg.dtype == "gf4" and not self.cfg.n_experts
+            wkey = (os.path.realpath(path), st.st_mtime_ns, st.st_size,
+                    reserve if tiered else None)
             w = _WEIGHTS_CACHE.get(wkey)
             if w is None:
-                # fused gf4 FFN planes ride in the cached pytree so engines
-                # sharing a container share one copy of them too; reserve
-                # the KV cache + activation headroom when tiering fusion
-                kvb = (1 if self.cfg.seq_len > 4096 else 2)
-                reserve = (2 * self.cfg.n_layers * self.cfg.kv_dim
-                           * self.cfg.seq_len * batch * kvb
-                           + 1_000_000_000)
                 w = M.fuse_gf4_weights(M.load_weights(self.tf, self.cfg),
                                        self.cfg, reserve_bytes=reserve)
                 _WEIGHTS_CACHE[wkey] = w
@@ -117,17 +139,6 @@ class Engine:
             mlp_bytes, _ = self.tf.count_bytes("model.layers.", ".mlp.w")
             self.n_bandwidth -= mlp_bytes
             self.n_bandwidth += mlp_bytes // self.cfg.n_experts * self.cfg.n_experts_ac
-
-        if kv_dtype is None:
-            kv_dtype = "fp8" if self.cfg.seq_len > 4096 else "bf16"
-        if kv_dtype == "fp16" and jax.default_backend() == "tpu":
-            # Mosaic has no f16: the TPU fast path stores KV in bf16 (same
-            # width; the CPU oracle keeps true fp16 for reference parity)
-            kv_dtype = "bf16"
-        self.kv_dtype = kv_dtype
-        self._kv_jnp = {"fp8": jnp.float8_e5m2, "bf16": jnp.bfloat16,
-                        "fp16": jnp.float16}[kv_dtype]
-        self.kv_bits = 8 if kv_dtype == "fp8" else 16
 
         self.cache = M.KVCache.create(self.cfg, batch, self._kv_jnp)
 

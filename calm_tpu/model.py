@@ -303,7 +303,8 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
     # cache + activation budget (the Engine passes its actual cache size:
     # 13B gf4 takes FULL fusion with fp8 KV but only qkv fusion with the
     # 3.3 GiB bf16 MHA cache)
-    HBM_BUDGET = 14_500_000_000  # v5e usable HBM, minus compiler slack
+    from calm_tpu.chip import tuning
+    HBM_BUDGET = tuning().hbm_budget  # per-chip usable HBM, minus slack
     model_bytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
                       for t in (w.layers.w1.data, w.layers.w2.data,
                                 w.layers.w3.data, w.layers.wq.data,

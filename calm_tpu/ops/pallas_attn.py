@@ -36,6 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = False
 
 
+def _tuning():
+    from calm_tpu.chip import tuning
+    return tuning()
+
+
 def set_interpret(on: bool):
     global _INTERPRET
     _INTERPRET = on
@@ -166,7 +171,8 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
     else:
         S = S_or_PR
         bs = min(2048, S)
-        while KVH * bs * hd * k_cache.dtype.itemsize > (8 << 20) and bs > 256:
+        while (KVH * bs * hd * k_cache.dtype.itemsize
+               > _tuning().attn_block_bytes and bs > 256):
             bs //= 2
         n_s = pl.cdiv(S, bs)
     scale = 1.0 / math.sqrt(hd)
@@ -241,7 +247,7 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
             bytes_accessed=kv_bytes + 8 * B * H * hd,
             transcendentals=B * H * n_s * bs),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_tuning().vmem_limit_bytes),
         interpret=interpret,
     )(sref, *inputs)
     return out.reshape(B, H, hd)
@@ -409,7 +415,7 @@ def _prefill_attention(q, k_cache, v_cache, pos0, kv_len, layer,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, T, KVH, M, hd), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_tuning().vmem_limit_bytes),
         interpret=interpret,
     )(sref, q, k_cache, v_cache)
 

@@ -73,16 +73,20 @@ def _pick_tile(d: int, packed_row_bytes: int) -> int:
     closer to the HBM ceiling: 7 MiB tiles sustain ~360 GB/s on gf4 vs
     ~230 GB/s at 1.5 MiB). The tile is the output's lane axis, so it must be
     a multiple of 128 (or cover d exactly)."""
-    target = 7 << 20
+    from calm_tpu.chip import tuning
+    target = tuning().qmm_tile_bytes
     td = max(128, min(d, target // max(packed_row_bytes, 1)))
     td = (td // 128) * 128
     return min(max(td, 128), d) if d % 128 == 0 else max(td, 128)
 
 
-_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 # the decode planes are live alongside the packed tile: raise the scoped
-# VMEM cap (v5e has 128 MiB; the 16 MiB default OOMs at the 7 MiB tile
-# size that big DMAs need)
+# VMEM cap (these chips carry 128 MiB physical; the 16 MiB default OOMs at
+# the multi-MiB tile size that big DMAs need). Lazy: chip detection must
+# not fire at import time.
+def _vmem_params():
+    from calm_tpu.chip import tuning
+    return pltpu.CompilerParams(vmem_limit_bytes=tuning().vmem_limit_bytes)
 
 
 def _layered_qmm_kernel(lref, x_ref, w_ref, o_ref, *, fmt: str):
@@ -161,7 +165,7 @@ def _qmm(x, wdata, layer, fmt: str, interpret: bool):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
             cost_estimate=cost,
-            compiler_params=_VMEM_PARAMS,
+            compiler_params=_vmem_params(),
             interpret=interpret,
         )(layer.astype(jnp.int32)[None], xp, wdata)
 
@@ -182,7 +186,7 @@ def _qmm(x, wdata, layer, fmt: str, interpret: bool):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, d), jnp.float32),
         cost_estimate=cost,
-        compiler_params=_VMEM_PARAMS,
+        compiler_params=_vmem_params(),
         interpret=interpret,
     )(layer.astype(jnp.int32)[None], x.astype(jnp.float32), wdata)
 
@@ -294,9 +298,12 @@ def _gf4_ffn(x, w1p, w3p, w2t, layer, act_gelu: bool, interpret: bool):
     = w2 @ (act(w1 x) * (w3 x))."""
     B, D = x.shape
     L, _, g_h, g_d = w1p.shape
-    # tile size: keep the three double-buffered weight slabs ~24 MB
+    # tile size: keep the three double-buffered weight slabs within the
+    # per-chip scratch budget
+    from calm_tpu.chip import tuning
+    scratch_budget = tuning().moe_scratch_bytes
     tc = 128
-    while (2 * 8 * tc * g_d + tc * D) * 4 * 2 < (24 << 20) and tc * 2 <= g_h:
+    while (2 * 8 * tc * g_d + tc * D) * 4 * 2 < scratch_budget and tc * 2 <= g_h:
         tc *= 2
     grid = (pl.cdiv(g_h, tc),)
     xp = x.astype(jnp.float32).reshape(B, g_d, 8).transpose(0, 2, 1)
@@ -325,7 +332,7 @@ def _gf4_ffn(x, w1p, w3p, w2t, layer, act_gelu: bool, interpret: bool):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
         cost_estimate=cost,
-        compiler_params=_VMEM_PARAMS,
+        compiler_params=_vmem_params(),
         interpret=interpret,
     )(layer.astype(jnp.int32)[None], xp, w1p, w3p, w2t)
 
@@ -433,7 +440,7 @@ def _qmm_moe_dense(x, wstack, layer, eidx, fmt: str, interpret: bool):
             _moe_dense_gf4_kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((A, B, d), jnp.float32),
-            compiler_params=_VMEM_PARAMS, interpret=interpret,
+            compiler_params=_vmem_params(), interpret=interpret,
         )(sref, xp, wstack)
 
     if fmt == "fp16":
@@ -453,7 +460,7 @@ def _qmm_moe_dense(x, wstack, layer, eidx, fmt: str, interpret: bool):
         functools.partial(_moe_dense_kernel, fmt=fmt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((A, B, d), jnp.float32),
-        compiler_params=_VMEM_PARAMS, interpret=interpret,
+        compiler_params=_vmem_params(), interpret=interpret,
     )(sref, x.astype(jnp.float32), wstack)
 
 

@@ -100,12 +100,20 @@ class PagedDecoder:
         self.n_blocks = cfg.seq_len // page_rows
         self.batch = batch
         self.kv_dtype = kv_dtype
-        self.pool = create_pool(cfg, n_pages, page_rows, kv_dtype)
+        # +1: the last page is a dedicated PARKING page, never handed out by
+        # _alloc. The paged decode step writes every slot's KV row each tick
+        # (and the sink rotation rewrites page pt[b, 0]) whether or not the
+        # slot is active — an empty slot's pt row must therefore point at a
+        # page no request owns, or its garbage rows corrupt whichever
+        # request _alloc gave page 0 to.
+        self.parking = n_pages
+        self.pool = create_pool(cfg, n_pages + 1, page_rows, kv_dtype)
         self.free_pages = list(range(n_pages - 1, -1, -1))
         self.slots = [_PagedSlot() for _ in range(batch)]
-        # dead entries point at the slot's page 0 (or pool page 0 when the
-        # slot holds nothing) so parked blocks re-hit a resident tile
-        self.pt = np.zeros((batch, self.n_blocks), np.int32)
+        # dead entries point at the slot's own page 0 (reads there are
+        # masked; writes never land past the slot's allocated blocks), or at
+        # the parking page when the slot holds nothing
+        self.pt = np.full((batch, self.n_blocks), self.parking, np.int32)
 
     # -- page bookkeeping ---------------------------------------------------
 
@@ -116,7 +124,7 @@ class PagedDecoder:
 
     def _sync_pt_row(self, b: int):
         slot = self.slots[b]
-        first = slot.pages[0] if slot.pages else 0
+        first = slot.pages[0] if slot.pages else self.parking
         for j in range(self.n_blocks):
             self.pt[b, j] = (slot.pages[j] if j < len(slot.pages) else first)
 
@@ -195,8 +203,9 @@ class PagedDecoder:
 
     def step(self) -> np.ndarray:
         """One decode step for every slot; returns logits (B, V) on host.
-        Inactive slots decode garbage at their parked position (page 0 of
-        their row; masked on reuse — same contract as the dense server).
+        Inactive slots decode garbage at their parked position (their pt
+        row points at the parking page, so the unconditional KV write and
+        sink rotation never touch a live request's pages).
         Raises RuntimeError when an active slot needs a page and the pool
         is dry (call ensure_capacity first to apply a gentler policy)."""
         for b in range(self.batch):

@@ -24,18 +24,9 @@ class Topology:
 
 
 # per-chip HBM capacity / bandwidth, used by the roofline reporter
-# (the TPU analogue of the reference's GPU table in tools/sol.ipynb)
-CHIP_TABLE = {
-    "TPU v4": (32, 1228.0),
-    "TPU v5 lite": (16, 819.0),
-    "TPU v5e": (16, 819.0),
-    "TPU v5": (95, 2765.0),
-    "TPU v5p": (95, 2765.0),
-    "TPU v6 lite": (32, 1640.0),
-    "TPU v6e": (32, 1640.0),
-    "TPU7x": (192, 7300.0),
-    "cpu": (0, 50.0),
-}
+# (the TPU analogue of the reference's GPU table in tools/sol.ipynb).
+# Single source of truth lives in calm_tpu.chip alongside the kernel tuning.
+from calm_tpu.chip import CHIP_TABLE  # noqa: E402  (re-export)
 
 
 def detect_topology() -> Topology:

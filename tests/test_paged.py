@@ -108,6 +108,37 @@ def test_paged_rolling_window(model):
     assert len(dec.slots[0].pages) <= cfg.seq_len // PR
 
 
+def test_inactive_slot_does_not_corrupt_active_pages(model):
+    """Regression: a slot that was never admitted (or was released) still
+    has its KV row written every tick and its sink rotation applied. Those
+    writes must land in the dedicated parking page — not in pool page 0,
+    which _alloc hands to the first admitted request. Pre-fix, slot 1's
+    garbage row clobbered slot 0's sink/prompt KV and greedy decode
+    diverged from the dense reference."""
+    cfg, w = model
+    prompt = [1, 5, 9, 2, 7]
+    n = cfg.seq_len + 4 - len(prompt)  # long decode, crosses the window
+    want = dense_reference(cfg, w, [prompt], n_steps=n)[0]
+
+    dec = paged.PagedDecoder(cfg, w, n_pages=8, page_rows=PR, batch=3)
+    assert dec.admit(0, prompt)        # slot 0 owns pool page 0
+    assert dec.parking not in [p for s in dec.slots for p in s.pages]
+    # slot 1: never admitted. slot 2: admitted then released (its pt row
+    # must fall back to the parking page, not keep pointing at freed pages)
+    assert dec.admit(2, [3, 3, 4])
+    dec.release(2)
+    assert (dec.pt[1] == dec.parking).all()
+    assert (dec.pt[2] == dec.parking).all()
+
+    got = []
+    for _ in range(n):
+        logits = dec.step()
+        nxt = int(np.argmax(logits[0]))
+        got.append(nxt)
+        dec.slots[0].token = nxt
+    assert got == want
+
+
 def test_pool_exhaustion(model):
     cfg, w = model
     dec = paged.PagedDecoder(cfg, w, n_pages=1, page_rows=PR, batch=2)
