@@ -24,27 +24,31 @@ import argparse
 import json
 import queue
 import threading
-import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from calm_tpu.serve import Server
+from calm_tpu.serve import QueueFull, Server
 
 
 class _Scheduler(threading.Thread):
     """Owns the device: ticks the Server whenever work is pending."""
 
-    def __init__(self, server: Server):
+    def __init__(self, server: Server, default_timeout_s: float = 0.0):
         super().__init__(daemon=True)
         self.server = server
-        self.lock = threading.Lock()  # guards submit vs tick
+        self.default_timeout_s = default_timeout_s
+        self.lock = threading.Lock()  # guards submit/cancel vs tick
         self.wake = threading.Event()
         self.running = True
 
     def submit(self, prompt: str, **kw):
         with self.lock:
-            req = self.server.submit(prompt, **kw)
+            req = self.server.submit(prompt, **kw)  # may raise QueueFull
         self.wake.set()
         return req
+
+    def cancel(self, req):
+        with self.lock:
+            self.server.cancel(req)
 
     def run(self):
         while self.running:
@@ -88,6 +92,7 @@ def make_handler(sched: _Scheduler):
                     "slots": srv.batch,
                     "active": sum(s.active for s in srv.slots),
                     "pending": len(srv.pending),
+                    "rejected": srv.rejected,
                     "prefix_cache": (None if pc is None else
                                      {"entries": len(pc._entries),
                                       "tokens": pc.tokens,
@@ -103,20 +108,37 @@ def make_handler(sched: _Scheduler):
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > 16 << 20:
+                    self._json(413, {"error": "body too large"})
+                    return
                 body = json.loads(self.rfile.read(n) or b"{}")
                 prompt = body["prompt"]
+                if not isinstance(prompt, str):
+                    raise ValueError("prompt must be a string")
             except (ValueError, KeyError) as e:
                 self._json(400, {"error": f"bad request: {e}"})
                 return
 
             pieces: queue.Queue = queue.Queue()
-            req = sched.submit(
-                prompt,
-                max_tokens=int(body.get("max_tokens", 128)),
-                temperature=float(body.get("temperature", 1.0)),
-                minp=float(body.get("min_p", 0.1)),
-                seed=int(body.get("seed", 42)),
-                on_piece=pieces.put)
+            try:
+                req = sched.submit(
+                    prompt,
+                    max_tokens=int(body.get("max_tokens", 128)),
+                    temperature=float(body.get("temperature", 1.0)),
+                    minp=float(body.get("min_p", 0.1)),
+                    seed=int(body.get("seed", 42)),
+                    timeout_s=float(body.get("timeout_s",
+                                             sched.default_timeout_s)),
+                    on_piece=pieces.put)
+            except QueueFull:
+                self.send_response(429)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": "queue full"}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
 
             if body.get("stream"):
                 self.send_response(200)
@@ -128,18 +150,27 @@ def make_handler(sched: _Scheduler):
                     self.wfile.write(f"{len(data):x}\r\n".encode())
                     self.wfile.write(data + b"\r\n")
 
-                while not req.done or not pieces.empty():
-                    try:
-                        piece = pieces.get(timeout=0.05)
-                    except queue.Empty:
-                        continue
-                    if piece:
-                        chunk(piece.encode())
-                chunk(b"")  # terminator
+                try:
+                    while True:
+                        # no polling: the server pushes a None sentinel on
+                        # every terminal path (done/timeout/cancel)
+                        piece = pieces.get()
+                        if piece is None:
+                            break
+                        if piece:
+                            chunk(piece.encode())
+                    chunk(b"")  # terminator
+                except (BrokenPipeError, ConnectionError, OSError):
+                    # client went away mid-stream: free the slot
+                    sched.cancel(req)
                 return
 
-            while not req.done:
-                time.sleep(0.01)
+            req.done_event.wait()  # pushed, not polled
+            if req.timed_out:
+                self._json(504, {"error": "deadline exceeded",
+                                 "partial_text": req.text,
+                                 "tokens": req.n_generated})
+                return
             self._json(200, {
                 "text": req.text,
                 "tokens": req.n_generated,
@@ -153,10 +184,11 @@ def make_handler(sched: _Scheduler):
     return Handler
 
 
-def serve_http(server: Server, host: str = "127.0.0.1", port: int = 8000):
+def serve_http(server: Server, host: str = "127.0.0.1", port: int = 8000,
+               default_timeout_s: float = 0.0):
     """Blocking HTTP loop; returns the (httpd, scheduler) pair when used
     programmatically (tests run it on port 0 in a thread)."""
-    sched = _Scheduler(server)
+    sched = _Scheduler(server, default_timeout_s)
     sched.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(sched))
     httpd.scheduler = sched
@@ -177,14 +209,20 @@ def main(argv=None):
                     help="paged KV: rows per page (0 = dense cache)")
     ap.add_argument("--pool-pages", type=int, default=0,
                     help="paged KV: pool size (default batch*seq_len/rows)")
+    ap.add_argument("--max-pending", type=int, default=256,
+                    help="pending-queue bound (submit beyond it -> 429)")
+    ap.add_argument("--timeout-s", type=float, default=0.0,
+                    help="default per-request deadline (0 = none)")
     args = ap.parse_args(argv)
 
     server = Server(args.checkpoint, batch=args.batch, context=args.context,
                     kv_dtype=args.kv, device_sampling=args.device_sampling,
                     prefix_cache_tokens=args.prefix_cache_tokens,
-                    page_rows=args.page_rows, pool_pages=args.pool_pages)
+                    page_rows=args.page_rows, pool_pages=args.pool_pages,
+                    max_pending=args.max_pending)
     print(server.engine.banner())
-    httpd = serve_http(server, args.host, args.port)
+    httpd = serve_http(server, args.host, args.port,
+                       default_timeout_s=args.timeout_s)
     print(f"# serving on http://{args.host}:{httpd.server_address[1]} "
           f"({args.batch} slots)")
     try:

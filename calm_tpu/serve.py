@@ -18,6 +18,8 @@ Design:
 from __future__ import annotations
 
 import dataclasses
+import queue as _queue
+import threading
 import time
 from collections import OrderedDict, deque
 from functools import partial
@@ -32,6 +34,10 @@ from calm_tpu.engine import Engine
 from calm_tpu.sampler import Sampler
 
 BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+class QueueFull(Exception):
+    """Raised by submit() when the pending queue is at max_pending."""
 
 
 def bucket_len(n: int, seq_len: int) -> int:
@@ -49,10 +55,16 @@ class Request:
     temperature: float = 1.0
     minp: float = 0.1
     seed: int = 42
-    on_piece: Callable[[str], None] | None = None
+    # called with each decoded text piece, then ONCE with None when the
+    # request reaches a terminal state (done/timeout/cancel) — the sentinel
+    # lets streaming clients block on a queue instead of polling ``done``
+    on_piece: Callable[[str | None], None] | None = None
+    timeout_s: float = 0.0  # server-enforced deadline from submit (0 = none)
     # results
     text: str = ""
     done: bool = False
+    cancelled: bool = False  # client went away: freed at the next tick
+    timed_out: bool = False
     n_generated: int = 0
     cached_prefix: int = 0  # prompt tokens served from the prefix cache
     truncated_prompt: int = 0  # prompt tokens dropped to fit the window
@@ -63,6 +75,10 @@ class Request:
     submitted_at: float = 0.0
     first_token_at: float = 0.0
     finished_at: float = 0.0
+    # set exactly once, when the request reaches a terminal state; waiters
+    # block here instead of polling ``done``
+    done_event: threading.Event = dataclasses.field(
+        default_factory=threading.Event, repr=False, compare=False)
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -169,7 +185,8 @@ class Server:
                  kv_dtype: str | None = None, device_sampling: bool = False,
                  seed: int = 42, mesh=None, plan=None,
                  prefix_cache_tokens: int = 0,
-                 page_rows: int = 0, pool_pages: int = 0):
+                 page_rows: int = 0, pool_pages: int = 0,
+                 max_pending: int = 0):
         # optional sharded execution: weights/cache placed on the mesh, the
         # decode/prefill steps run under shard_map (continuous batching on a
         # tp/ep-sharded model; scale hosts with jax.distributed + dp shards)
@@ -223,6 +240,8 @@ class Server:
                              and not page_rows else None)
         self.slots = [_Slot() for _ in range(batch)]
         self.pending: deque[Request] = deque()
+        self.max_pending = max_pending  # 0 = unbounded
+        self.rejected = 0  # submit() calls bounced on a full queue
         self._next_rid = 0
         # parked decode state per slot (device arrays built each tick)
         self._tokens = np.zeros(batch, np.int32)
@@ -236,11 +255,69 @@ class Server:
     # -- client api ---------------------------------------------------------
 
     def submit(self, prompt: str, **kw) -> Request:
+        if self.max_pending and len(self.pending) >= self.max_pending:
+            self.rejected += 1
+            raise QueueFull(f"pending queue full ({self.max_pending})")
         req = Request(rid=self._next_rid, prompt=prompt, **kw)
         req.submitted_at = time.perf_counter()
         self._next_rid += 1
         self.pending.append(req)
         return req
+
+    def cancel(self, req: Request):
+        """Client went away: a pending request is finalized immediately; an
+        active one is swept (slot freed) at the start of the next tick."""
+        req.cancelled = True
+        if not req.done and any(r is req for r in self.pending):
+            self.pending = deque(r for r in self.pending if r is not req)
+            self._finish(req, None, time.perf_counter())
+
+    def _finish(self, req: Request, b: int | None, now: float, *,
+                timed_out: bool = False, out_of_pages: bool = False):
+        """Single terminal path: park the slot, flag the request, fire the
+        on_piece(None) sentinel, release the done_event."""
+        if b is not None:
+            slot = self.slots[b]
+            req.text = slot.out.decode("utf-8", errors="replace")
+            slot.active = False
+            slot.req = None
+            self._temps[b] = 0.0  # park the slot greedy; its garbage
+            self._minps[b] = 1.0  # decodes are masked on reuse
+            if self._paged is not None:
+                self._paged.release(b)  # pages back to the pool
+        req.timed_out = timed_out
+        req.out_of_pages = out_of_pages
+        req.done = True
+        req.finished_at = now
+        if req.on_piece:
+            req.on_piece(None)
+        req.done_event.set()
+
+    def _sweep(self):
+        """Free slots whose request was cancelled or passed its deadline,
+        and drop dead pending requests, before admission."""
+        now = time.perf_counter()
+
+        def dead(req):
+            to = (req.timeout_s > 0
+                  and now - req.submitted_at >= req.timeout_s)
+            return req.cancelled or to, to
+
+        live = deque()
+        for req in self.pending:
+            is_dead, to = dead(req)
+            if is_dead:
+                self._finish(req, None, now, timed_out=to)
+            else:
+                live.append(req)
+        self.pending = live
+        for b in range(self._own_lo, self._own_hi):
+            slot = self.slots[b]
+            if not slot.active:
+                continue
+            is_dead, to = dead(slot.req)
+            if is_dead:
+                self._finish(slot.req, b, now, timed_out=to)
 
     def run_until_drained(self, max_ticks: int | None = None):
         ticks = 0
@@ -409,6 +486,7 @@ class Server:
         """One scheduler tick: admit new requests, one decode step for all.
         Under multi-process dp every process must call tick() in lockstep
         (run_until_drained does)."""
+        self._sweep()
         self._admit()
         active = any(s.active
                      for s in self.slots[self._own_lo:self._own_hi])
@@ -429,16 +507,7 @@ class Server:
                 if not self._paged.ensure_capacity(b):
                     # pool pressure: finish this request early with what it
                     # has (flagged) instead of stalling the whole batch
-                    req = slot.req
-                    req.text = slot.out.decode("utf-8", errors="replace")
-                    req.out_of_pages = True
-                    req.done = True
-                    req.finished_at = now0
-                    slot.active = False
-                    slot.req = None
-                    self._temps[b] = 0.0
-                    self._minps[b] = 1.0
-                    self._paged.release(b)
+                    self._finish(slot.req, b, now0, out_of_pages=True)
             if not any(s.active for s in self.slots):
                 return
             logits = self._paged.step()
@@ -487,12 +556,4 @@ class Server:
                 self._tokens[b] = nxt
                 self._pos[b] = slot.pos
             else:
-                req.text = slot.out.decode("utf-8", errors="replace")
-                req.done = True
-                req.finished_at = now
-                slot.active = False
-                slot.req = None
-                self._temps[b] = 0.0  # park the slot greedy; its garbage
-                self._minps[b] = 1.0  # decodes are masked on reuse
-                if self._paged is not None:
-                    self._paged.release(b)  # pages back to the pool
+                self._finish(req, b, now)

@@ -399,3 +399,161 @@ def test_http_server(model_path):
     finally:
         httpd.shutdown()
         httpd.scheduler.stop()
+
+
+# -- request lifecycle hardening (queue bound / deadline / cancellation) ----
+
+
+def test_queue_full_rejects(model_path):
+    from calm_tpu.serve import QueueFull
+
+    srv = Server(model_path, batch=1, kv_dtype="fp16", max_pending=2)
+    srv.submit("A", max_tokens=4)
+    srv.submit("B", max_tokens=4)
+    with pytest.raises(QueueFull):
+        srv.submit("C", max_tokens=4)
+    assert srv.rejected == 1
+    srv.run_until_drained()  # the two accepted requests still complete
+
+
+def test_pending_timeout(model_path):
+    pieces = []
+    srv = Server(model_path, batch=1, kv_dtype="fp16")
+    req = srv.submit("AB", max_tokens=8, timeout_s=1e-9,
+                     on_piece=pieces.append)
+    srv.run_until_drained()
+    assert req.done and req.timed_out and not req.n_generated
+    assert pieces == [None]  # terminal sentinel, no text pieces
+    assert req.done_event.is_set()
+
+
+def test_active_timeout_partial_text(model_path):
+    import time as _t
+
+    srv = Server(model_path, batch=1, kv_dtype="fp16")
+    req = srv.submit("AB", max_tokens=10_000, timeout_s=0.25)
+    t0 = _t.perf_counter()
+    srv.run_until_drained()
+    assert req.done and req.timed_out
+    assert req.n_generated >= 1  # it ran before the deadline hit
+    assert _t.perf_counter() - t0 < 30
+    # the slot is free for the next request
+    assert not any(s.active for s in srv.slots)
+    nxt = srv.submit("CD", max_tokens=4, temperature=0.0)
+    srv.run_until_drained()
+    assert nxt.done and not nxt.timed_out
+
+
+def test_cancel_pending_and_active(model_path):
+    srv = Server(model_path, batch=1, kv_dtype="fp16")
+    first = srv.submit("AB", max_tokens=10_000)
+    second = srv.submit("CD", max_tokens=4)
+
+    srv.cancel(second)  # still pending: finalized immediately
+    assert second.done and second.cancelled and second.done_event.is_set()
+
+    srv.tick()  # admit + decode one step for `first`
+    assert srv.slots[0].active
+    srv.cancel(first)  # active: swept at the next tick
+    assert not first.done
+    srv.tick()
+    assert first.done and first.cancelled
+    assert not srv.slots[0].active
+    srv.run_until_drained()  # nothing left
+
+
+def test_finish_sentinel_on_normal_completion(model_path):
+    pieces = []
+    srv = Server(model_path, batch=1, kv_dtype="fp16")
+    req = srv.submit("AB", max_tokens=4, temperature=0.0,
+                     on_piece=pieces.append)
+    srv.run_until_drained()
+    assert req.done and pieces and pieces[-1] is None
+    assert "".join(p for p in pieces if p) == req.text
+
+
+def test_http_hardening(model_path):
+    """429 on queue-full, 504 on deadline, disconnect mid-stream frees slot."""
+    import json
+    import socket
+    import threading
+    import time as _t
+    import urllib.error
+    import urllib.request
+
+    from calm_tpu.httpd import serve_http
+
+    srv = Server(model_path, batch=1, kv_dtype="fp16", max_pending=1)
+    httpd = serve_http(srv, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    def post(obj, timeout=120):
+        body = json.dumps(obj).encode()
+        r = urllib.request.Request(f"{base}/v1/generate", data=body,
+                                   headers={"Content-Type": "application/json"})
+        return urllib.request.urlopen(r, timeout=timeout)
+
+    try:
+        # deadline -> 504 with partial text
+        try:
+            post({"prompt": "AB", "max_tokens": 100_000, "timeout_s": 0.2})
+            assert False, "expected 504"
+        except urllib.error.HTTPError as e:
+            assert e.code == 504
+            out = json.load(e)
+            assert out["error"] == "deadline exceeded"
+
+        # queue full -> 429: occupy the single slot with a long request,
+        # fill the 1-deep pending queue, then a third submit must bounce
+        bg = threading.Thread(
+            target=lambda: urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{base}/v1/generate",
+                    data=json.dumps({"prompt": "AB",
+                                     "max_tokens": 100_000,
+                                     "timeout_s": 20}).encode()),
+                timeout=120).read(),
+            daemon=True)
+        bg.start()
+        deadline = _t.perf_counter() + 30
+        while _t.perf_counter() < deadline:
+            with httpd.scheduler.lock:
+                if any(s.active for s in srv.slots):
+                    break
+            _t.sleep(0.01)
+        httpd.scheduler.submit("P", max_tokens=4)  # fills pending (cap 1)
+        try:
+            post({"prompt": "Q", "max_tokens": 4})
+            assert False, "expected 429"
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+        # free the slot so the disconnect test below gets admitted promptly
+        with httpd.scheduler.lock:
+            for s in srv.slots:
+                if s.active:
+                    srv.cancel(s.req)
+
+        # disconnect mid-stream: raw socket, read a little, slam it shut
+        s = socket.create_connection(("127.0.0.1", port), timeout=30)
+        body = json.dumps({"prompt": "AB", "max_tokens": 100_000,
+                           "stream": True}).encode()
+        s.sendall(b"POST /v1/generate HTTP/1.1\r\n"
+                  b"Host: x\r\nContent-Type: application/json\r\n"
+                  + f"Content-Length: {len(body)}\r\n\r\n".encode() + body)
+        s.recv(4096)  # headers + maybe a first chunk
+        s.close()
+        deadline = _t.perf_counter() + 60
+        freed = False
+        while _t.perf_counter() < deadline:
+            with httpd.scheduler.lock:
+                freed = (not any(s2.active for s2 in srv.slots)
+                         and not srv.pending)
+            if freed:
+                break
+            _t.sleep(0.05)
+        assert freed, "disconnected stream did not free its slot"
+    finally:
+        httpd.shutdown()
+        httpd.scheduler.stop()
