@@ -467,6 +467,27 @@ def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
             pt=pt)
         return out.reshape(B, T, H * hd)
 
+    if pallas_decode_enabled() and sp_decode and pt is None:
+        # sp decode on the Pallas kernel: each shard runs flash decode over
+        # its LOCAL S-shard and emits unnormalized (acc, max, sum); the
+        # exact softmax closes with one pmax + two psums over sp (the
+        # flash-decoding split-KV merge, across chips). Masking: local
+        # kv_len = how many of this shard's rows [off, off+S_loc) are
+        # globally valid — causality is subsumed (decode kv_len = pos+1;
+        # rolled windows expose every valid row, src/infer.c:330-332).
+        from calm_tpu.ops import pallas_attn
+        S_loc = kc.shape[3]
+        off = jax.lax.axis_index(plan.sp) * S_loc
+        kv_loc = jnp.clip(kv_len - off, 0, S_loc)
+        acc, m_loc, l_loc = pallas_attn.decode_attention(
+            qf[:, 0].reshape(B, KVH * M, hd), kc, vc, kv_loc, layer,
+            jnp.int32(0) if batch_off is None else batch_off, partials=True)
+        m_glob = jax.lax.pmax(m_loc, plan.sp)
+        scale = jnp.exp(m_loc - m_glob)  # -inf (empty shard) -> 0
+        num = jax.lax.psum(acc * scale, plan.sp)
+        l_glob = jax.lax.psum(l_loc * scale, plan.sp)
+        return (num / l_glob).reshape(B, T, H * hd)
+
     k_cache = jax.lax.dynamic_index_in_dim(kc, layer, 0, keepdims=False)
     v_cache = jax.lax.dynamic_index_in_dim(vc, layer, 0, keepdims=False)
     if pt is not None:

@@ -54,6 +54,18 @@ def _attn_kernel(sref, q_ref, k_ref, v_ref, o_ref,
                kvh=kvh, n_b=n_b)
 
 
+def _attn_kernel_partials(sref, q_ref, k_ref, v_ref, o_ref, mo_ref, lo_ref,
+                          m_ref, l_ref, acc_ref, *, bs: int, scale: float,
+                          kv_fp8: bool, kvh: int, n_b: int):
+    """Sequence-parallel decode: emit the UNNORMALIZED flash state
+    (acc, running max, running sum) so the exact softmax closes with one
+    pmax + two psums across the sp axis (the flash-decoding split-KV merge,
+    done here across chips instead of across SMs)."""
+    _attn_body(sref, q_ref, k_ref, v_ref, None, None, (o_ref, mo_ref, lo_ref),
+               m_ref, l_ref, acc_ref, bs=bs, scale=scale, kv_fp8=kv_fp8,
+               kvh=kvh, n_b=n_b)
+
+
 def _attn_kernel_fresh(sref, q_ref, k_ref, v_ref, fk_ref, fv_ref, o_ref,
                        m_ref, l_ref, acc_ref, *, bs: int, scale: float,
                        kv_fp8: bool, kvh: int, n_b: int):
@@ -141,12 +153,18 @@ def _attn_body(sref, q_ref, k_ref, v_ref, fk_ref, fv_ref, o_ref,
 
     @pl.when(s == n_s - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+        if isinstance(o_ref, tuple):  # partials: no normalization here
+            o_ref[0][0] = acc_ref[:].astype(o_ref[0].dtype)
+            o_ref[1][0] = m_ref[:]
+            o_ref[2][0] = l_ref[:]
+        else:
+            o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "partials"))
 def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
-                      interpret: bool, fresh=None, pt=None):
+                      interpret: bool, fresh=None, pt=None,
+                      partials: bool = False):
     """``pt`` (B, n_blocks) int32 switches to PAGED mode: the cache's
     second axis is a physical page pool (L, P, KVH, PR, hd) and logical
     S-block j of slot b streams from page pt[b, j] — the page table rides
@@ -209,7 +227,12 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
                   batch_off[None].astype(jnp.int32),
                   kv_len.astype(jnp.int32)]
     inputs = [qkv, k_cache, v_cache]
-    if fresh is None:
+    if partials:
+        assert fresh is None and pt is None, \
+            "partials mode composes with neither deferred writes nor paging"
+        kern = functools.partial(_attn_kernel_partials, bs=bs, scale=scale,
+                                 kv_fp8=kv_fp8, kvh=KVH, n_b=B)
+    elif fresh is None:
         kern = functools.partial(_attn_kernel, bs=bs, scale=scale,
                                  kv_fp8=kv_fp8, kvh=KVH, n_b=B)
     else:
@@ -224,11 +247,19 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
     if paged:
         sref_parts.append(pt.astype(jnp.int32).reshape(-1))
 
+    out_specs = pl.BlockSpec((1, KVH, M, hd), o_map, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, KVH, M, hd), jnp.float32)
+    if partials:
+        ml_spec = pl.BlockSpec((1, KVH, M, 1), o_map, memory_space=pltpu.VMEM)
+        ml_shape = jax.ShapeDtypeStruct((B, KVH, M, 1), jnp.float32)
+        out_specs = [out_specs, ml_spec, ml_spec]
+        out_shape = [out_shape, ml_shape, ml_shape]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_s),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, KVH, M, hd), o_map, memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((KVH, M, 1), jnp.float32),    # running max
             pltpu.VMEM((KVH, M, 1), jnp.float32),    # running sum
@@ -241,7 +272,7 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KVH, M, hd), jnp.float32),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * hd * n_s * bs,
             bytes_accessed=kv_bytes + 8 * B * H * hd,
@@ -250,11 +281,15 @@ def _decode_attention(q, k_cache, v_cache, kv_len, layer, batch_off,
             vmem_limit_bytes=_tuning().vmem_limit_bytes),
         interpret=interpret,
     )(sref, *inputs)
+    if partials:
+        acc, m, l = out
+        return (acc.reshape(B, H, hd), m.reshape(B, H, 1),
+                l.reshape(B, H, 1))
     return out.reshape(B, H, hd)
 
 
 def decode_attention(q, k_cache, v_cache, kv_len, layer=None, batch_off=0,
-                     fresh=None, pt=None):
+                     fresh=None, pt=None, partials: bool = False):
     """q (B, H, hd) f32; caches (L, B_full, KVH, S, hd) with scalar ``layer``
     selecting the plane (or (B, KVH, S, hd) for a single-layer cache);
     local q row b attends cache row batch_off + b; kv_len (B,) ->
@@ -268,6 +303,11 @@ def decode_attention(q, k_cache, v_cache, kv_len, layer=None, batch_off=0,
     ``pt`` (B, n_blocks) int32: PAGED mode — caches are a page pool
     (L, P, KVH, page_rows, hd) and slot b's logical block j streams from
     page pt[b, j] (see calm_tpu/paged.py).
+
+    ``partials``: return the UNNORMALIZED flash state
+    (acc (B, H, hd), m (B, H, 1), l (B, H, 1)) instead of acc/l — the
+    sequence-parallel decode path merges shards' partial softmaxes exactly
+    with pmax/psum outside the kernel (model._attention).
     """
     if k_cache.ndim == 4:
         k_cache, v_cache = k_cache[None], v_cache[None]
@@ -275,7 +315,7 @@ def decode_attention(q, k_cache, v_cache, kv_len, layer=None, batch_off=0,
     return _decode_attention(q, k_cache, v_cache, kv_len,
                              jnp.asarray(layer, jnp.int32),
                              jnp.asarray(batch_off, jnp.int32), _INTERPRET,
-                             fresh=fresh, pt=pt)
+                             fresh=fresh, pt=pt, partials=partials)
 
 
 # ---------------------------------------------------------------------------
