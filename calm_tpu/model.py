@@ -85,6 +85,25 @@ class LayerWeights:
     w3p: Any = None
     w2t: Any = None
     wqkv: Any = None
+    # plane-permuted-stream decode layouts (the offn tier): the residual
+    # stream itself is carried plane-permuted ((B, 8, D/8), [:, j, c] =
+    # x[:, 8c+j]) so wo + residual + ffn-norm + FFN run as ONE kernel
+    # (pallas_qmm.gf4_offn) with no in-kernel activation transpose (Mosaic
+    # cannot lower one — docs/PERF_NOTES.md "Trace-attributed"):
+    # wo_p:  (L, 8, D/8, Q/8) plane-major over wo's OUTPUT rows
+    # w2tp:  (L, H/8, D) word-transposed w2 with plane-PERMUTED output
+    #        columns (replaces w2t in this tier)
+    # an_pl: (L, D) f32 attn-norm weights in permuted element order
+    # fn_pl: (L, 8, D/8) f32 ffn-norm weights, permuted
+    wo_p: Any = None
+    w2tp: Any = None
+    an_pl: Any = None
+    fn_pl: Any = None
+    # MoE gf4: per-expert plane-major w1/w3 (L, E, 8, H/8, D/8) REPLACING
+    # the natural stacks (same bytes — fuse_gf4_weights re-lays them out in
+    # place); w2 stays natural, the fused MoE kernel streams it row-tiled
+    w1pe: Any = None
+    w3pe: Any = None
 
 
 @_shallow_pytree
@@ -279,23 +298,53 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
     TPU analogue of the Metal backend's load-time weight massage,
     src/infer.m:134-164), done ONCE on device at load. No-op for non-gf4,
     MoE, or already-fused weights. Costs one extra copy of w1/w3 in HBM
-    (the original stays for prefill's XLA path and tp sharding)."""
+    (the original stays for prefill's XLA path and tp sharding).
+
+    TAKES OWNERSHIP of ``w`` for the MoE tier: the input pytree is mutated
+    (w1/w3 become None — their buffers are re-laid-out, not copied). Don't
+    reuse the argument after calling; use the return value."""
     if (cfg.dtype != "gf4" or w.layers.w1p is not None
+            or w.layers.w1pe is not None
             or w.layers.wqkv is not None or cfg.hidden_dim % 8):
         return w
     if cfg.n_experts:
-        # MoE: the ffn fused layouts would duplicate E experts' weights
-        # (doesn't fit: 4-expert mixtral-geometry gf4 is already 11 GB);
-        # the qkv row-concat is small and still saves 2 calls/layer
-        return Weights(
-            embed=w.embed,
-            layers=dataclasses.replace(
-                w.layers,
-                wqkv=jnp.concatenate([jnp.asarray(w.layers.wq.data),
-                                      jnp.asarray(w.layers.wk.data),
-                                      jnp.asarray(w.layers.wv.data)],
-                                     axis=1)),
-            final_norm=w.final_norm, output=w.output)
+        # MoE: w1/w3 are REPLACED by per-expert plane-major layouts (a pure
+        # row permutation — same bytes, no HBM duplicate; peak transient =
+        # one matrix stack while permuting) feeding the one-call fused MoE
+        # FFN sweep (pallas_qmm.gf4_moe_ffn); w2 stays NATURAL — the fused
+        # kernel tiles it over output rows where natural is contiguous. The
+        # qkv row-concat still saves 2 calls/layer.
+        layers = w.layers
+        wqkv = jnp.concatenate([jnp.asarray(layers.wq.data),
+                                jnp.asarray(layers.wk.data),
+                                jnp.asarray(layers.wv.data)], axis=1)
+        He = layers.w1.shape[2]
+        if He % 8 == 0:
+            Lw, E = layers.w1.data.shape[:2]
+            gd = layers.w1.data.shape[3]
+
+            def planes_e(d):
+                return (jnp.asarray(d).reshape(Lw, E, He // 8, 8, gd)
+                        .transpose(0, 1, 3, 2, 4))
+
+            # mutate in place so the ORIGINAL stack's last reference dies
+            # before the next permute runs: peak device transient = ONE
+            # matrix stack, not three (the 4-expert proxy's w1+w3 alone are
+            # ~7.5 GB — holding originals + copies would OOM a v5e)
+            d1, layers.w1 = layers.w1.data, None
+            w1pe = planes_e(d1)
+            jax.block_until_ready(w1pe)
+            d1 = None
+            d3, layers.w3 = layers.w3.data, None
+            w3pe = planes_e(d3)
+            jax.block_until_ready(w3pe)
+            d3 = None
+            layers = dataclasses.replace(layers, w1pe=w1pe, w3pe=w3pe,
+                                         wqkv=wqkv)
+        else:
+            layers = dataclasses.replace(layers, wqkv=wqkv)
+        return Weights(embed=w.embed, layers=layers,
+                       final_norm=w.final_norm, output=w.output)
     L, H, gd = w.layers.w1.data.shape
     # the fused layouts duplicate w1/w3/w2/wqkv in HBM (the originals stay
     # for prefill's fused-XLA path and tp sharding) — tier down when the
@@ -334,11 +383,36 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
     def planes(d):
         return jnp.asarray(d).reshape(L, H // 8, 8, gd).transpose(0, 2, 1, 3)
 
-    layers = dataclasses.replace(
-        w.layers, w1p=planes(w.layers.w1.data),
-        w3p=planes(w.layers.w3.data),
-        w2t=jnp.asarray(w.layers.w2.data).transpose(0, 2, 1),
-        wqkv=wqkv)
+    # offn tier: ALSO plane-permute the residual stream's epilogue weights
+    # so decode runs wo + residual + ffn-norm + FFN as one kernel
+    # (pallas_qmm.gf4_offn). Costs one extra copy of wo; requires the fused
+    # wqkv (the permuted stream feeds it pre-planed) and a post-attn norm
+    # (norm_par reuses the attn-normed input — epilogue shape differs).
+    D = 8 * gd
+    Q = w.layers.wo.data.shape[2] * 8  # wo: (L, D, Q/8) packed
+    wo_bytes = int(np.prod(w.layers.wo.data.shape)) * 4
+    offn = (not cfg.norm_par and wqkv is not None and Q % 8 == 0
+            and model_bytes + extra + qkv_bytes + wo_bytes <= budget)
+    if offn:
+        wo_p = (jnp.asarray(w.layers.wo.data)
+                .reshape(L, gd, 8, Q // 8).transpose(0, 2, 1, 3))
+        w2t = jnp.asarray(w.layers.w2.data).transpose(0, 2, 1)  # (L, H/8, D)
+        w2tp = (w2t.reshape(L, H // 8, gd, 8).transpose(0, 1, 3, 2)
+                .reshape(L, H // 8, D))
+        an_pl = (jnp.asarray(w.layers.attn_norm)
+                 .reshape(L, gd, 8).transpose(0, 2, 1).reshape(L, D))
+        fn_pl = (jnp.asarray(w.layers.ffn_norm)
+                 .reshape(L, gd, 8).transpose(0, 2, 1))
+        layers = dataclasses.replace(
+            w.layers, w1p=planes(w.layers.w1.data),
+            w3p=planes(w.layers.w3.data),
+            wqkv=wqkv, wo_p=wo_p, w2tp=w2tp, an_pl=an_pl, fn_pl=fn_pl)
+    else:
+        layers = dataclasses.replace(
+            w.layers, w1p=planes(w.layers.w1.data),
+            w3p=planes(w.layers.w3.data),
+            w2t=jnp.asarray(w.layers.w2.data).transpose(0, 2, 1),
+            wqkv=wqkv)
     return Weights(embed=w.embed, layers=layers, final_norm=w.final_norm,
                    output=w.output)
 
@@ -591,7 +665,8 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
         probs = jax.nn.softmax(gate, axis=-1)
         moe_w, top_idx = jax.lax.top_k(probs, cfg.n_experts_ac)
 
-    e_local = lw.w1.data.shape[1]                          # local expert count
+    e_local = (lw.w1pe.shape[1] if lw.w1 is None
+               else lw.w1.data.shape[1])                   # local expert count
     if plan.ep is not None:
         off = jax.lax.axis_index(plan.ep) * e_local
     else:
@@ -605,7 +680,10 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
     B, T, D = xb2.shape
     if pallas_decode_enabled():
         from calm_tpu.ops import pallas_qmm
-        if (pallas_qmm.moe_supported(xb2.shape, lw.w1.data, lw.w1.fmt)
+        fused = (lw.w1pe is not None and pallas_qmm.gf4_moe_ffn_supported(
+            (B * T, D), lw.w1pe, lw.w2.data))
+        if fused or (lw.w1 is not None
+                and pallas_qmm.moe_supported(xb2.shape, lw.w1.data, lw.w1.fmt)
                 and pallas_qmm.moe_supported(
                     (B * T, lw.w2.data.shape[-1] * (8 if lw.w2.fmt == "gf4" else 1)),
                     lw.w2.data, lw.w2.fmt)):
@@ -633,14 +711,25 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
             lid = jnp.where(islocal, jnp.clip(lid_raw, 0, e_local - 1),
                             jnp.where(jnp.any(islocal), fill, 0))
 
-            xf = xb2.reshape(1, B * T, D).astype(jnp.float32)
-            y1 = pallas_qmm.qmm_moe_dense(xf, lw.w1.data, lid, lw.w1.fmt,
-                                          layer)          # (A, BT, H)
-            y3 = pallas_qmm.qmm_moe_dense(xf, lw.w3.data, lid, lw.w3.fmt,
-                                          layer)
-            h = _act(cfg, y1) * y3                        # (A, BT, H)
-            z = pallas_qmm.qmm_moe_dense(h, lw.w2.data, lid, lw.w2.fmt,
-                                         layer)           # (A, BT, D)
+            if fused:
+                # one-call whole-FFN expert sweep; dead padding slots repeat
+                # the LAST live slot's id so their index maps match the
+                # previous grid step block-for-block (zero extra DMA)
+                pad_id = lid[jnp.clip(cnt - 1, 0, A - 1)]
+                lid2 = jnp.where(jnp.arange(A) < cnt, lid, pad_id)
+                z = pallas_qmm.gf4_moe_ffn(
+                    xb2.reshape(B * T, D).astype(jnp.float32), lw.w1pe,
+                    lw.w3pe, lw.w2.data, lid2, jnp.minimum(cnt, A), layer,
+                    cfg.act_gelu)                         # (A, BT, D)
+            else:
+                xf = xb2.reshape(1, B * T, D).astype(jnp.float32)
+                y1 = pallas_qmm.qmm_moe_dense(xf, lw.w1.data, lid,
+                                              lw.w1.fmt, layer)  # (A, BT, H)
+                y3 = pallas_qmm.qmm_moe_dense(xf, lw.w3.data, lid,
+                                              lw.w3.fmt, layer)
+                h = _act(cfg, y1) * y3                    # (A, BT, H)
+                z = pallas_qmm.qmm_moe_dense(h, lw.w2.data, lid, lw.w2.fmt,
+                                             layer)       # (A, BT, D)
             # combine: row bt takes slot a with its gate weight iff routed
             # there and the slot is a live local expert (padded/duplicate
             # slots contribute zero — no double counting)
@@ -654,10 +743,23 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
             return out.reshape(B, T, D)
 
     def expert_ffn(lidx, xin):                             # lidx scalar, xin (D,)
-        w1 = lw.w1[layer, lidx]   # QTensor indexing keeps the fp8e4 scale
         w2 = lw.w2[layer, lidx]
-        w3 = lw.w3[layer, lidx]
-        h = _act(cfg, qmatmul(xin, w1)) * qmatmul(xin, w3)
+        if lw.w1 is None:
+            # plane-major packed slice (8, H/8, D/8): logical row k*g_h + c
+            # of the flattened view is natural row 8c+k — matmul in the
+            # permuted order, then un-permute the (cheap) activation
+            from calm_tpu.ops.qmm import QTensor
+            g_h, g_d = lw.w1pe.shape[3], lw.w1pe.shape[4]
+
+            def pmm(ws):
+                qt = QTensor(ws[layer, lidx].reshape(8 * g_h, g_d), "gf4")
+                yp = qmatmul(xin, qt)                      # plane order
+                return yp.reshape(8, g_h).T.reshape(8 * g_h)
+            h = _act(cfg, pmm(lw.w1pe)) * pmm(lw.w3pe)
+        else:
+            w1 = lw.w1[layer, lidx]  # QTensor indexing keeps the fp8e4 scale
+            w3 = lw.w3[layer, lidx]
+            h = _act(cfg, qmatmul(xin, w1)) * qmatmul(xin, w3)
         return qmatmul(h, w2)                              # (D,) partial over tp
 
     def per_token(eidxs, wts, xin):                        # (A,), (A,), (D,)
@@ -673,8 +775,14 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
 
 def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
            kv_len, kv_dtype, rolling: bool, rope, plan: ShardingPlan,
-           batch_off=None, pt=None):
+           batch_off=None, pt=None, planed: bool = False):
     """One transformer layer on a (B, T, D) activation wave.
+
+    ``planed`` (gf4 offn tier, decode T==1 only): x is the plane-permuted
+    residual (B, 8, D/8) ([:, j, c] = x_nat[:, 8c+j]); qkv projects through
+    the pre-planed fused wqkv kernel and the whole epilogue (wo + residual
+    + ffn-norm + FFN) runs as one pallas call (gf4_offn). The return x is
+    permuted too — _run_layers un-permutes after the scan.
 
     kc/vc: the FULL (L, B, KVH_local, S, hd) caches, updated in place at
     ``layer`` with dynamic-update-slices. Carrying the whole buffer (instead
@@ -685,7 +793,10 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
     (must be contiguous along T); kv_len: (B,). Local head/hidden dims come
     from the weight shards. Returns (x, kc, vc).
     """
-    B, T, D = x.shape
+    if planed:
+        B, T, D = x.shape[0], 1, 8 * x.shape[2]
+    else:
+        B, T, D = x.shape
     hd = cfg.head_dim
     q_local = lw.wq.shape[1]   # q_dim / tp  (stacked: (L, d, n))
     kv_local = lw.wk.shape[1]  # kv_dim / tp
@@ -694,10 +805,19 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
     def row(a):  # per-layer slice of a small stacked tensor (XLA fuses it)
         return jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
 
-    xb = _norm(cfg, x, row(lw.attn_norm))
-
     qkv = None
-    if pallas_decode_enabled() and lw.wqkv is not None:
+    if planed:
+        from calm_tpu.ops import pallas_qmm
+        # norm on the permuted flat vector (rms/mean are permutation-
+        # invariant; weights pre-permuted to match) feeds the fused qkv
+        # kernel in its native plane layout — no per-call transpose
+        xb = _norm(cfg, x.reshape(B, D), row(lw.an_pl))
+        qkv = pallas_qmm.qmm_decode(
+            xb.reshape(B, 8, D // 8), lw.wqkv, "gf4", layer,
+            pre_planed=True).reshape(B, 1, q_local + 2 * kv_local)
+    else:
+        xb = _norm(cfg, x, row(lw.attn_norm))
+    if qkv is None and pallas_decode_enabled() and lw.wqkv is not None:
         from calm_tpu.ops import pallas_qmm
         if pallas_qmm.supported((B * T, D), lw.wqkv, "gf4"):
             # fused row-concat qkv: one kernel streams all three
@@ -835,6 +955,22 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
                  if defer else None)
         att = _attention(cfg, q, kc, vc, layer, pos, kv_len, batch_off,
                          fresh=fresh, plan=plan, pt=pt)
+
+    if planed:
+        from calm_tpu.ops import pallas_qmm
+        # one tiny XLA transpose (B*Q floats) planarizes the attention
+        # output; the offn kernel then does wo + residual + ffn-norm + FFN
+        # without leaving VMEM (kills the wo call boundary traced at
+        # 193 GB/s vs the fused FFN's 444 — docs/PERF_NOTES.md)
+        a_pl = (att.reshape(B, q_local // 8, 8).transpose(0, 2, 1)
+                .astype(jnp.float32))
+        ffn, r1 = pallas_qmm.gf4_offn(
+            a_pl, x, lw.fn_pl, lw.wo_p, lw.w1p, lw.w3p, lw.w2tp, layer,
+            cfg.act_gelu, cfg.norm_eps, cfg.norm_ln)
+        x = r1 + ffn.reshape(B, 8, D // 8)
+        return x, kc, vc, ((kh[0, :, :, 0, :], vh[0, :, :, 0, :])
+                           if defer else None)
+
     x = x + _close_residual(qmatmul(att, lw.wo, layer=layer), plan)
 
     # parallel-norm architectures (Cohere) feed the ffn from the attn-normed
@@ -887,12 +1023,28 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
     parallelism each stage holds and runs only its layer shard."""
     kv_dtype = cache.k.dtype
     n_layers = cache.k.shape[0]
+    lw = w.layers
+
+    B, T, D = x.shape
+    planed = False
+    if (T == 1 and lw.wo_p is not None and pallas_decode_enabled()
+            and plan.tp is None and plan.sp is None and plan.ep is None):
+        from calm_tpu.ops import pallas_qmm
+        q_local = lw.wq.shape[1]
+        planed = (pallas_qmm.supported((B, D), lw.wqkv, "gf4")
+                  and pallas_qmm.gf4_offn_supported(
+                      (B, 8, q_local // 8), (B, 8, D // 8),
+                      lw.wo_p, lw.w1p, lw.w2tp))
+    if planed:
+        # carry the residual plane-permuted across the whole layer scan
+        # (one 16 KB transpose in, one out — per step, not per layer)
+        x = x.reshape(B, D // 8, 8).transpose(0, 2, 1)
 
     def body(carry, layer):
         x, kc, vc = carry
         x, kc, vc, fresh = _layer(cfg, x, w.layers, layer, kc, vc, pos,
                                   kv_pos, kv_len, kv_dtype, rolling, rope,
-                                  plan, batch_off, pt)
+                                  plan, batch_off, pt, planed=planed)
         return (x, kc, vc), fresh
 
     unroll = min(LAYER_UNROLL, n_layers)
@@ -901,6 +1053,8 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
     (x, k_new, v_new), fresh = jax.lax.scan(
         body, (x, cache.k, cache.v),
         jnp.arange(n_layers, dtype=jnp.int32), unroll=unroll)
+    if planed:
+        x = x.transpose(0, 2, 1).reshape(B, T, D)
 
     if fresh is not None:
         # deferred decode writes: ONE (all-layer) DUS per slot per step

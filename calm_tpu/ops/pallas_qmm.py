@@ -121,8 +121,10 @@ def _layered_gf4_kernel(lref, xp_ref, w_ref, o_ref):
     o_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("fmt", "interpret"))
-def _qmm(x, wdata, layer, fmt: str, interpret: bool):
+@functools.partial(jax.jit,
+                   static_argnames=("fmt", "interpret", "pre_planed"))
+def _qmm(x, wdata, layer, fmt: str, interpret: bool,
+         pre_planed: bool = False):
     """Matvec against layer ``layer`` of the stacked (L, d, n_packed) weight.
 
     The layer index rides in the scalar-prefetch operand and feeds the
@@ -131,15 +133,20 @@ def _qmm(x, wdata, layer, fmt: str, interpret: bool):
     (d, n_packed) weight to a custom call instead makes XLA materialize the
     slice (a full weight copy per layer per token, measured: gf4 decode
     drops from ~360 to ~200 GB/s).
+
+    ``pre_planed`` (gf4 only): x already carries the plane-permuted layout
+    (B, 8, n/8) — the plane-major residual stream hands activations in this
+    form directly, skipping the per-call transpose.
     """
     B = x.shape[0]
     L, d, n_packed = wdata.shape
     packed_bytes = {"fp16": 2, "fp8": 1, "gf4": 4}[fmt]
     td = _pick_tile(d, n_packed * packed_bytes)
     grid = (pl.cdiv(d, td),)
+    n_in = x.shape[2] * 8 if pre_planed else x.shape[1]
     cost = pl.CostEstimate(
-        flops=2 * B * d * x.shape[1],
-        bytes_accessed=d * n_packed * packed_bytes + 4 * B * (d + x.shape[1]),
+        flops=2 * B * d * n_in,
+        bytes_accessed=d * n_packed * packed_bytes + 4 * B * (d + n_in),
         transcendentals=0)
 
     def w_map(i, lref):
@@ -148,9 +155,12 @@ def _qmm(x, wdata, layer, fmt: str, interpret: bool):
     if fmt == "gf4":
         np8 = n_packed  # = N/8
         # pre-permute x so plane k aligns with xp[:, k, :] (see kernel doc).
-        # (measured: this transpose op costs only ~0.2 ms/tok at 7B — the
-        # gf4 whole-model gap is per-kernel-call overhead, not this)
-        xp = x.astype(jnp.float32).reshape(B, np8, 8).transpose(0, 2, 1)
+        # (measured: this transpose op costs only ~0.2 ms/tok at 7B —
+        # pre_planed callers avoid even that)
+        if pre_planed:
+            xp = x.astype(jnp.float32)
+        else:
+            xp = x.astype(jnp.float32).reshape(B, np8, 8).transpose(0, 2, 1)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[
@@ -192,13 +202,15 @@ def _qmm(x, wdata, layer, fmt: str, interpret: bool):
 
 
 def qmm_decode(x: jax.Array, wdata: jax.Array, fmt: str,
-               layer=None) -> jax.Array:
+               layer=None, pre_planed: bool = False) -> jax.Array:
     """x (B, n) f32 @ W[layer]^T for packed stacked W (L, d, n_packed)
-    -> (B, d) f32. A 2-D W is treated as a single-layer stack."""
+    -> (B, d) f32. A 2-D W is treated as a single-layer stack. With
+    ``pre_planed`` (gf4 only) x is (B, 8, n/8) in plane-permuted form."""
     if wdata.ndim == 2:
         wdata = wdata[None]
         layer = jnp.int32(0)
-    return _qmm(x, wdata, jnp.asarray(layer, jnp.int32), fmt, _INTERPRET)
+    return _qmm(x, wdata, jnp.asarray(layer, jnp.int32), fmt, _INTERPRET,
+                pre_planed=pre_planed)
 
 
 # ---------------------------------------------------------------------------
@@ -344,6 +356,184 @@ def gf4_ffn(x: jax.Array, w1p: jax.Array, w3p: jax.Array, w2t: jax.Array,
                     act_gelu, _INTERPRET)
 
 
+# ---------------------------------------------------------------------------
+# fused gf4 attention-epilogue + FFN: wo + residual + ffn-norm + FFN in ONE
+# kernel, on the plane-permuted residual stream
+# ---------------------------------------------------------------------------
+
+
+def _gf4_w2_dot(h, wu2, tc: int):
+    """h (B, 8*tc) plane-major hidden; wu2 (tc, D) u32 word-columns ->
+    (B, D) f32: plane k of a w2 word-column dots the contiguous slice
+    h[:, k*tc:(k+1)*tc]."""
+    scale2 = _gf4_scale(wu2)
+    acc = None
+    for k in range(8):
+        codes = ((wu2 >> (8 + 3 * k)) & 7).astype(jnp.int32).astype(jnp.float32)
+        plane = ((codes - 4.0) * scale2).astype(jnp.bfloat16)  # (tc, D)
+        d = jax.lax.dot_general(
+            h[:, k * tc:(k + 1) * tc].astype(jnp.bfloat16), plane,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    return acc
+
+
+def _gf4_offn_kernel(lref, a_ref, r_ref, g_ref, wo_ref, w1_ref, w3_ref,
+                     w2_ref, o_ref, r1_ref, xn_ref, *, tc: int, g_h: int,
+                     act_gelu: bool, eps: float, sub_mean: bool):
+    """Attention epilogue + FFN on the plane-permuted residual stream.
+
+    Grid step 0 computes r1 = r + wo @ a (wo plane-major over its OUTPUT
+    rows, so r1 lands directly in the permuted carry order), then the
+    ffn-norm into the xn scratch — everything the reference megakernel does
+    between its attn_mix and w13 stages (src/infer.cu:559-607) without
+    leaving VMEM. Every step then runs the fused-FFN tile math against the
+    scratch. The permuted carry is what makes this legal: the norm needs
+    the WHOLE r1, and r1's plane k is a plain sublane slice — no in-kernel
+    (N/8, 8) -> (8, N/8) transpose (which Mosaic cannot lower; see
+    docs/PERF_NOTES.md "Trace-attributed").
+
+    Step 0's wo/norm compute also hides the first FFN tile's DMA — the
+    separate-call formulation paid a cold-DMA + boundary stall there
+    (wo traced at 193 GB/s in-scan vs the fused FFN's 444).
+    """
+    i = pl.program_id(0)
+    B = a_ref.shape[0]
+    G = r_ref.shape[2]
+    D = 8 * G
+
+    @pl.when(i == 0)
+    def _():
+        # wo: per-output-plane dots, accumulate the mean as we go
+        ms = jnp.zeros((B, 1), jnp.float32)
+        for k in range(8):
+            y = _gf4_plane_dot(a_ref[:], wo_ref[0, k], G)  # (B, G)
+            r1k = r_ref[:, k, :] + y
+            r1_ref[:, k, :] = r1k
+            if sub_mean:
+                ms = ms + jnp.sum(r1k, axis=-1, keepdims=True)
+        mu = ms / D
+        ss = jnp.zeros((B, 1), jnp.float32)
+        for k in range(8):
+            d = r1_ref[:, k, :] - mu
+            ss = ss + jnp.sum(d * d, axis=-1, keepdims=True)
+        rms = jax.lax.rsqrt(ss / D + eps)
+        for k in range(8):
+            xn_ref[:, k, :] = ((r1_ref[:, k, :] - mu) * rms
+                               * g_ref[0, k, :][None, :])
+
+    h1 = _gf4_plane_dot(xn_ref[:], w1_ref[0], 8 * tc)
+    h3 = _gf4_plane_dot(xn_ref[:], w3_ref[0], 8 * tc)
+    if act_gelu:
+        ga = 0.7978845608028654  # sqrt(2/pi); tanh-approx gelu
+        a = 0.5 * h1 * (1.0 + jnp.tanh(ga * (h1 + 0.044715 * h1 * h1 * h1)))
+    else:
+        a = h1 * (1.0 / (1.0 + jnp.exp(-h1)))  # silu
+    h = a * h3
+    col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+    h = jnp.where(i * tc + col % tc < g_h, h, 0.0)
+
+    acc = _gf4_w2_dot(h, pltpu.bitcast(w2_ref[0], jnp.uint32), tc)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = acc
+
+    @pl.when(i > 0)
+    def _():
+        o_ref[:] = o_ref[:] + acc
+
+
+@functools.partial(jax.jit, static_argnames=("act_gelu", "eps", "sub_mean",
+                                             "interpret"))
+def _gf4_offn(a_pl, r_pl, g_pl, wo_p, w1p, w3p, w2tp, layer, act_gelu: bool,
+              eps: float, sub_mean: bool, interpret: bool):
+    """a_pl (B, 8, Q/8) plane-permuted attention output; r_pl (B, 8, D/8)
+    plane-permuted residual; g_pl (L, 8, D/8) permuted ffn-norm weights;
+    wo_p (L, 8, D/8, Q/8) plane-major-output wo; w1p/w3p (L, 8, H/8, D/8);
+    w2tp (L, H/8, D) word-transposed w2 with PERMUTED output columns ->
+    (ffn (B, D) permuted, r1 (B, 8, D/8)); the caller's new residual is
+    r1 + ffn.reshape(B, 8, D/8) (a free row-major reshape)."""
+    B = a_pl.shape[0]
+    L, _, G, Gq = wo_p.shape
+    _, _, g_h, g_d = w1p.shape
+    D = 8 * G
+    from calm_tpu.chip import tuning
+    # the wo block stays resident across all grid steps: charge it against
+    # the scratch budget before sizing the double-buffered FFN tiles
+    wo_bytes = 8 * G * Gq * 4
+    budget = max(tuning().moe_scratch_bytes - wo_bytes, 8 << 20)
+    tc = 128
+    while (2 * 8 * tc * g_d + tc * D) * 4 * 2 < budget and tc * 2 <= g_h:
+        tc *= 2
+    grid = (pl.cdiv(g_h, tc),)
+    cost = pl.CostEstimate(
+        flops=2 * B * (8 * G * 8 * Gq + 2 * 8 * g_h * 8 * g_d + D * 8 * g_h),
+        bytes_accessed=(8 * G * Gq + 2 * 8 * g_h * g_d + D * g_h) * 4,
+        transcendentals=8 * g_h * B)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 8, Gq), lambda i, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 8, G), lambda i, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, G), lambda i, l: (l[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, G, Gq), lambda i, l: (l[0], 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tc, g_d), lambda i, l: (l[0], 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tc, g_d), lambda i, l: (l[0], 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tc, D), lambda i, l: (l[0], i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, D), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 8, G), lambda i, l: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, 8, G), jnp.float32)])
+    return pl.pallas_call(
+        functools.partial(_gf4_offn_kernel, tc=tc, g_h=g_h,
+                          act_gelu=act_gelu, eps=eps, sub_mean=sub_mean),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 8, G), jnp.float32)],
+        cost_estimate=cost,
+        compiler_params=_vmem_params(),
+        interpret=interpret,
+    )(layer.astype(jnp.int32)[None], a_pl.astype(jnp.float32),
+      r_pl.astype(jnp.float32), g_pl, wo_p, w1p, w3p, w2tp)
+
+
+def gf4_offn(a_pl, r_pl, g_pl, wo_p, w1p, w3p, w2tp, layer, act_gelu: bool,
+             eps: float, sub_mean: bool):
+    """Fused wo + residual + ffn-norm + FFN (see _gf4_offn)."""
+    return _gf4_offn(a_pl, r_pl, g_pl, wo_p, w1p, w3p, w2tp,
+                     jnp.asarray(layer, jnp.int32), act_gelu, float(eps),
+                     sub_mean, _INTERPRET)
+
+
+def gf4_offn_supported(a_shape, r_shape, wo_p, w1p, w2tp) -> bool:
+    """Stream-fusion eligibility: all stream layouts present, decode-sized
+    batch, matching plane geometry."""
+    if wo_p is None or w1p is None or w2tp is None:
+        return False
+    if wo_p.ndim != 4 or w1p.ndim != 4 or w2tp.ndim != 3:
+        return False
+    if a_shape[0] > 16 or len(a_shape) != 3 or len(r_shape) != 3:
+        return False
+    L, eight, G, Gq = wo_p.shape
+    return (eight == 8 and a_shape[1:] == (8, Gq) and r_shape[1:] == (8, G)
+            and w1p.shape[3] == G and w2tp.shape[1] == w1p.shape[2]
+            and w2tp.shape[2] == 8 * G)
+
+
 def gf4_ffn_supported(x_shape, w1p, w2t) -> bool:
     """Fused-FFN eligibility: fused layouts present, decode-sized batch."""
     if w1p is None or w2t is None or w1p.ndim != 4 or w2t.ndim != 3:
@@ -474,6 +664,142 @@ def qmm_moe_dense(x: jax.Array, wstack: jax.Array, eidx: jax.Array, fmt: str,
         layer = jnp.int32(0)
     return _qmm_moe_dense(x, wstack, jnp.asarray(layer, jnp.int32), eidx,
                           fmt, _INTERPRET)
+
+
+def _gf4_moe_ffn_kernel(sref, xp_ref, w1_ref, w3_ref, w2_ref, o_ref, h_ref,
+                        *, tc1: int, tc2: int, t1: int, g_h: int,
+                        act_gelu: bool):
+    """Whole-FFN expert sweep: grid (A, t1 + t2) with the expert slot
+    OUTERMOST. Steps 0..t1-1 stream the expert's plane-major w1/w3 tiles and
+    fill the h scratch (plane-grouped, so no in-kernel transpose — Mosaic
+    cannot lower one); steps t1.. stream NATURAL-layout w2 row tiles and dot
+    them against the completed h via the plane decomposition (w2's packed
+    minor axis is hidden/8, so its plane k dots h plane k directly — the
+    natural layout needs no transposed copy here, unlike the dense kernel
+    whose grid tiles w2 over hidden). One pallas call replaces the 3
+    dependent qmm_moe_dense calls per layer (each boundary stalls 15-26 us
+    + a cold-tile DMA, docs/PERF_NOTES.md); the reference gathers active
+    experts inside one kernel the same way (src/infer.cu:597-620).
+    """
+    i = pl.program_id(1)
+
+    @pl.when(i < t1)
+    def _():
+        h1 = _gf4_plane_dot(xp_ref[:], w1_ref[0, 0], 8 * tc1)
+        h3 = _gf4_plane_dot(xp_ref[:], w3_ref[0, 0], 8 * tc1)
+        if act_gelu:
+            ga = 0.7978845608028654  # sqrt(2/pi); tanh-approx gelu
+            av = 0.5 * h1 * (1.0 + jnp.tanh(ga * (h1 + 0.044715 * h1 * h1 * h1)))
+        else:
+            av = h1 * (1.0 / (1.0 + jnp.exp(-h1)))  # silu
+        h = av * h3                                  # (B, 8*tc1) plane-major
+        col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        h = jnp.where(i * tc1 + col % tc1 < g_h, h, 0.0)  # zero tail rows
+        B = h.shape[0]
+        h_ref[:, :, pl.ds(i * tc1, tc1)] = h.reshape(B, 8, tc1)
+
+    @pl.when(i >= t1)
+    def _():
+        hp = h_ref[:, :, :]
+        if hp.shape[2] != g_h:
+            hp = hp[:, :, :g_h]
+        wu2 = pltpu.bitcast(w2_ref[0, 0], jnp.uint32)   # (tc2, g_h)
+        o_ref[0] = _gf4_plane_dot(hp, wu2, tc2)
+
+
+@functools.partial(jax.jit, static_argnames=("act_gelu", "interpret"))
+def _gf4_moe_ffn(x, w1pe, w3pe, w2, layer, eidx, cnt, act_gelu: bool,
+                 interpret: bool):
+    """x (B, D) f32; w1pe/w3pe (L, E, 8, H/8, D/8) i32 plane-major per
+    expert; w2 (L, E, D, H/8) i32 NATURAL layout; eidx (A,) sorted unique
+    expert ids padded by repeating the last unique; cnt — live slot count
+    (dead slots' index maps pin every block to the previous slot's last
+    tile, so padding costs ZERO extra HBM traffic) -> (A, B, D) f32."""
+    B, D = x.shape
+    L, E, _, g_h, g_d = w1pe.shape
+    A = eidx.shape[0]
+    from calm_tpu.chip import tuning
+    budget = tuning().moe_scratch_bytes
+    tc1 = 128
+    while (2 * 8 * tc1 * g_d * 4) * 2 * 3 < budget * 2 and tc1 * 2 <= g_h:
+        tc1 *= 2
+    tc2 = 128
+    while (tc2 * g_h * 4) * 2 * 3 < budget and tc2 * 2 <= D:
+        tc2 *= 2
+    t1, t2 = pl.cdiv(g_h, tc1), pl.cdiv(D, tc2)
+    grid = (A, t1 + t2)
+    xp = x.astype(jnp.float32).reshape(B, g_d, 8).transpose(0, 2, 1)
+    sref = jnp.concatenate([layer.astype(jnp.int32)[None],
+                            cnt.astype(jnp.int32)[None],
+                            eidx.astype(jnp.int32)])
+    cost = pl.CostEstimate(
+        flops=2 * A * B * (2 * 8 * g_h * 8 * g_d + D * 8 * g_h),
+        bytes_accessed=A * (2 * 8 * g_h * g_d + D * g_h) * 4,
+        transcendentals=A * 8 * g_h * B)
+
+    def w13_map(a, i, sref):
+        dead = a >= sref[1]
+        step = jnp.where(dead, t1 - 1, jnp.minimum(i, t1 - 1))
+        return (sref[0], sref[a + 2], 0, step, 0)
+
+    def w2_map(a, i, sref):
+        dead = a >= sref[1]
+        step = jnp.where(dead, t2 - 1, jnp.clip(i - t1, 0, t2 - 1))
+        return (sref[0], sref[a + 2], step, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, 8, g_d), lambda a, i, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, tc1, g_d), w13_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, tc1, g_d), w13_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tc2, g_h), w2_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, B, tc2),
+            lambda a, i, s: (a, 0, jnp.clip(i - t1, 0, t2 - 1)),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((B, 8, t1 * tc1), jnp.float32)])
+    return pl.pallas_call(
+        functools.partial(_gf4_moe_ffn_kernel, tc1=tc1, tc2=tc2, t1=t1,
+                          g_h=g_h, act_gelu=act_gelu),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((A, B, D), jnp.float32),
+        cost_estimate=cost,
+        compiler_params=_vmem_params(),
+        interpret=interpret,
+    )(sref, xp, w1pe, w3pe, w2)
+
+
+def gf4_moe_ffn(x: jax.Array, w1pe, w3pe, w2, eidx, cnt, layer,
+                act_gelu: bool) -> jax.Array:
+    """Fused MoE FFN expert sweep (see _gf4_moe_ffn): (A, B, D); dead slots
+    (a >= cnt) return stale values — mask them in the combine."""
+    return _gf4_moe_ffn(x, w1pe, w3pe, w2, jnp.asarray(layer, jnp.int32),
+                        eidx, jnp.asarray(cnt, jnp.int32), act_gelu,
+                        _INTERPRET)
+
+
+def gf4_moe_ffn_supported(x_shape, w1pe, w2data) -> bool:
+    """Fused MoE FFN eligibility: plane-major per-expert layouts present,
+    decode-sized batch, matching geometry."""
+    if w1pe is None or w2data is None:
+        return False
+    if w1pe.ndim != 5 or w2data.ndim != 4:
+        return False
+    rows = 1
+    for s in x_shape[:-1]:
+        rows *= s
+    if rows > 16:
+        return False
+    L, E, eight, g_h, g_d = w1pe.shape
+    return (eight == 8 and x_shape[-1] == g_d * 8
+            and w2data.shape[:2] == (L, E) and w2data.shape[2] == g_d * 8
+            and w2data.shape[3] == g_h)
 
 
 def moe_supported(x_shape, wstack, fmt: str) -> bool:

@@ -67,6 +67,27 @@ def _copy_rows_to_page(pool, dense, blk, page, page_rows: int):
     return jax.lax.dynamic_update_slice(pool, rows, (0, page, 0, 0, 0))
 
 
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("page_rows",))
+def _copy_page_to_rows(dense, pool, blk, page, page_rows: int):
+    """Seed rows [blk*PR, (blk+1)*PR) of a dense single-slot buffer from
+    pool page ``page`` (the prefix-hit scratch seeding: the suffix prefill
+    must attend over the shared prefix rows)."""
+    L, P, KVH, PR, hd = pool.shape
+    rows = jax.lax.dynamic_slice(pool, (0, page, 0, 0, 0),
+                                 (L, 1, KVH, PR, hd))
+    return jax.lax.dynamic_update_slice(dense, rows,
+                                        (0, 0, 0, blk * page_rows, 0))
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _copy_page_to_page(pool, src, dst):
+    """Copy-on-write: duplicate page ``src`` into ``dst`` (donated)."""
+    L, P, KVH, PR, hd = pool.shape
+    rows = jax.lax.dynamic_slice(pool, (0, src, 0, 0, 0),
+                                 (L, 1, KVH, PR, hd))
+    return jax.lax.dynamic_update_slice(pool, rows, (0, dst, 0, 0, 0))
+
+
 @dataclasses.dataclass
 class _PagedSlot:
     active: bool = False
@@ -201,8 +222,11 @@ class PagedDecoder:
             self._sync_pt_row(b)
         return True
 
-    def step(self) -> np.ndarray:
-        """One decode step for every slot; returns logits (B, V) on host.
+    def step(self, host: bool = True):
+        """One decode step for every slot; returns logits (B, V) — on host
+        as f32 when ``host`` (the default), else the device array (the
+        server's device-sampling path feeds it straight to
+        sampler.device_sample so only the sampled (B,) ints ever transfer).
         Inactive slots decode garbage at their parked position (their pt
         row points at the parking page, so the unconditional KV write and
         sink rotation never touch a live request's pages).
@@ -221,4 +245,4 @@ class PagedDecoder:
         for s in self.slots:
             if s.active:
                 s.pos += 1
-        return np.asarray(logits, np.float32)
+        return np.asarray(logits, np.float32) if host else logits

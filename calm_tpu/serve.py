@@ -225,7 +225,6 @@ class Server:
         self._paged = None
         if page_rows:
             assert not self._sharded, "paged KV is single-device for now"
-            assert not device_sampling, "paged mode samples host-side"
             from calm_tpu.paged import PagedDecoder
             eng = self.engine
             if not pool_pages:
@@ -510,7 +509,7 @@ class Server:
                     self._finish(slot.req, b, now0, out_of_pages=True)
             if not any(s.active for s in self.slots):
                 return
-            logits = self._paged.step()
+            logits = self._paged.step(host=not self.device_sampling)
         elif self._sharded:
             logits, eng.cache = self._decode_fn(
                 eng.weights, self._global_batch_arr(self._tokens),

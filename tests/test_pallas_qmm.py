@@ -139,6 +139,135 @@ def test_gf4_fused_ffn(rng, act_gelu, b):
         np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
 
 
+def _perm(v):
+    """Natural (B, D) -> plane-permuted (B, 8, D/8): [:, j, c] = v[:, 8c+j]."""
+    B, D = v.shape
+    return v.reshape(B, D // 8, 8).transpose(0, 2, 1)
+
+
+def _unperm(v_pl):
+    B, _, G = v_pl.shape
+    return v_pl.transpose(0, 2, 1).reshape(B, 8 * G)
+
+
+@pytest.mark.parametrize("sub_mean", [False, True])
+@pytest.mark.parametrize("act_gelu,b", [(False, 1), (True, 4)])
+def test_gf4_offn(rng, sub_mean, act_gelu, b):
+    """The fused attention-epilogue kernel (wo + residual + ffn-norm + FFN
+    on the plane-permuted stream) matches the separate-op reference."""
+    import jax
+    import jax.numpy as jnp
+    from calm_tpu.ops.norms import rmsnorm
+
+    L, D, Q, H = 2, 256, 128, 8 * 72  # Q != D: independent head_dim; tail
+    eps = 1e-5
+    wo = np.stack([quant.quantize(
+        (rng.standard_normal((D, Q)) * 0.05).astype(np.float32), "gf4")
+        for _ in range(L)])
+    w1 = np.stack([quant.quantize(
+        (rng.standard_normal((H, D)) * 0.05).astype(np.float32), "gf4")
+        for _ in range(L)])
+    w3 = np.stack([quant.quantize(
+        (rng.standard_normal((H, D)) * 0.05).astype(np.float32), "gf4")
+        for _ in range(L)])
+    w2 = np.stack([quant.quantize(
+        (rng.standard_normal((D, H)) * 0.05).astype(np.float32), "gf4")
+        for _ in range(L)])
+    g = (1.0 + rng.standard_normal((L, D)) * 0.1).astype(np.float32)
+    a = (rng.standard_normal((b, Q)) * 0.5).astype(np.float32)
+    r = (rng.standard_normal((b, D)) * 0.5).astype(np.float32)
+
+    # stream layouts (what fuse_gf4_weights builds)
+    w1p = jnp.asarray(w1).reshape(L, H // 8, 8, D // 8).transpose(0, 2, 1, 3)
+    w3p = jnp.asarray(w3).reshape(L, H // 8, 8, D // 8).transpose(0, 2, 1, 3)
+    wo_p = jnp.asarray(wo).reshape(L, D // 8, 8, Q // 8).transpose(0, 2, 1, 3)
+    w2t = jnp.asarray(w2).transpose(0, 2, 1)                     # (L, H/8, D)
+    w2tp = (w2t.reshape(L, H // 8, D // 8, 8).transpose(0, 1, 3, 2)
+            .reshape(L, H // 8, D))
+    g_pl = jnp.asarray(g).reshape(L, D // 8, 8).transpose(0, 2, 1)
+
+    act = ((lambda v: jax.nn.gelu(v, approximate=True)) if act_gelu
+           else jax.nn.silu)
+    assert pallas_qmm.gf4_offn_supported((b, 8, Q // 8), (b, 8, D // 8),
+                                         wo_p, w1p, w2tp)
+    for l in range(L):
+        qo = qmm.QTensor.from_numpy(wo[l], "gf4")
+        q1 = qmm.QTensor.from_numpy(w1[l], "gf4")
+        q3 = qmm.QTensor.from_numpy(w3[l], "gf4")
+        q2 = qmm.QTensor.from_numpy(w2[l], "gf4")
+        r1_want = r + np.asarray(qmm.qmatmul(jnp.asarray(a), qo))
+        xn = np.asarray(rmsnorm(jnp.asarray(r1_want), jnp.asarray(g[l]),
+                                eps, subtract_mean=sub_mean))
+        h = np.asarray(act(qmm.qmatmul(jnp.asarray(xn), q1))
+                       * qmm.qmatmul(jnp.asarray(xn), q3))
+        ffn_want = np.asarray(qmm.qmatmul(jnp.asarray(h), q2))
+
+        ffn_pl, r1_pl = pallas_qmm.gf4_offn(
+            jnp.asarray(_perm(a)), jnp.asarray(_perm(r)), g_pl,
+            wo_p, w1p, w3p, w2tp, jnp.int32(l), act_gelu, eps, sub_mean)
+        np.testing.assert_allclose(np.asarray(_unperm(np.asarray(r1_pl))),
+                                   r1_want, rtol=4e-2, atol=4e-2)
+        got = _unperm(np.asarray(ffn_pl).reshape(b, 8, D // 8))
+        np.testing.assert_allclose(got, ffn_want, rtol=5e-2, atol=5e-2)
+
+
+def test_qmm_pre_planed_matches(rng):
+    """pre_planed gf4 input (B, 8, n/8) gives the same result as the
+    natural-layout call (the kernel's internal form, handed directly)."""
+    d, n = 256, 384
+    qt, _ = make_qt(rng, d, n, "gf4")
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    want = np.asarray(pallas_qmm.qmm_decode(jnp.asarray(x), qt.data, "gf4"))
+    got = np.asarray(pallas_qmm.qmm_decode(
+        jnp.asarray(_perm(x)), qt.data, "gf4", pre_planed=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("act_gelu,b", [(False, 1), (True, 4)])
+def test_gf4_moe_ffn_kernel(rng, act_gelu, b):
+    """The fused MoE FFN sweep (plane-major w1/w3 + NATURAL w2, one call)
+    matches per-expert direct computation, including padded dead slots."""
+    import jax
+
+    L, E, D, H = 2, 4, 128, 8 * 72  # H/8 = 72 < 128: tail-mask + pad path
+    w1 = np.stack([np.stack([quant.quantize(
+        (rng.standard_normal((H, D)) * 0.05).astype(np.float32), "gf4")
+        for _ in range(E)]) for _ in range(L)])        # (L, E, H, D/8)
+    w3 = np.stack([np.stack([quant.quantize(
+        (rng.standard_normal((H, D)) * 0.05).astype(np.float32), "gf4")
+        for _ in range(E)]) for _ in range(L)])
+    w2 = np.stack([np.stack([quant.quantize(
+        (rng.standard_normal((D, H)) * 0.05).astype(np.float32), "gf4")
+        for _ in range(E)]) for _ in range(L)])        # (L, E, D, H/8)
+    x = (rng.standard_normal((b, D)) * 0.5).astype(np.float32)
+
+    w1pe = (jnp.asarray(w1).reshape(L, E, H // 8, 8, D // 8)
+            .transpose(0, 1, 3, 2, 4))                 # (L, E, 8, H/8, D/8)
+    w3pe = (jnp.asarray(w3).reshape(L, E, H // 8, 8, D // 8)
+            .transpose(0, 1, 3, 2, 4))
+    assert pallas_qmm.gf4_moe_ffn_supported((b, D), w1pe, jnp.asarray(w2))
+
+    act = ((lambda v: jax.nn.gelu(v, approximate=True)) if act_gelu
+           else jax.nn.silu)
+    A = 3
+    eidx = np.array([1, 3, 3], np.int32)  # slot 2 = dead padding
+    cnt = 2
+    for l in range(L):
+        got = np.asarray(pallas_qmm.gf4_moe_ffn(
+            jnp.asarray(x), w1pe, w3pe, jnp.asarray(w2),
+            jnp.asarray(eidx), cnt, jnp.int32(l), act_gelu))
+        assert got.shape == (A, b, D)
+        for a in range(cnt):
+            e = int(eidx[a])
+            q1 = qmm.QTensor.from_numpy(w1[l, e], "gf4")
+            q3 = qmm.QTensor.from_numpy(w3[l, e], "gf4")
+            q2 = qmm.QTensor.from_numpy(w2[l, e], "gf4")
+            h = act(qmm.qmatmul(jnp.asarray(x), q1)) \
+                * qmm.qmatmul(jnp.asarray(x), q3)
+            want = np.asarray(qmm.qmatmul(h, q2))
+            np.testing.assert_allclose(got[a], want, rtol=5e-2, atol=5e-2)
+
+
 @pytest.mark.parametrize("fmt", ["fp16", "fp8", "gf4"])
 def test_moe_dense_kernel(rng, fmt):
     """Dense unique-expert sweep via scalar prefetch matches direct matmuls:
@@ -200,6 +329,9 @@ def test_gf4_fused_ffn_in_model(rng):
 
     wf = M.fuse_gf4_weights(w, cfg)
     assert wf.layers.w1p is not None
+    # offn tier: the plane-permuted-stream epilogue layouts replace w2t
+    assert wf.layers.wo_p is not None and wf.layers.w2tp is not None
+    assert wf.layers.w2t is None
     qmm.enable_pallas(True)
     try:
         from calm_tpu.ops import pallas_attn
@@ -210,6 +342,46 @@ def test_gf4_fused_ffn_in_model(rng):
         qmm.enable_pallas(False)
         pallas_attn.set_interpret(False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("batch", [1, 4])
+def test_gf4_moe_fused_in_model(rng, batch):
+    """gf4 MoE decode through fuse_gf4_weights (w1/w3 REPLACED by the
+    plane-major per-expert layouts, one-call fused FFN sweep) matches the
+    unfused decode. batch > 1 exercises dedup + dead padding slots."""
+    from calm_tpu import model as M
+    from calm_tpu.config import ModelConfig
+    from calm_tpu.utils.synth import synth_weights
+
+    cfg = ModelConfig(dim=128, hidden_dim=256, head_dim=32, n_layers=2,
+                      n_heads=4, n_kv_heads=2, vocab_size=256, seq_len=32,
+                      rope_theta=10000.0, rotary_dim=32, norm_ln=False,
+                      dtype="gf4", n_experts=4, n_experts_ac=2)
+    w = synth_weights(cfg)
+    tok = jnp.arange(batch, dtype=jnp.int32) % 7
+    pos = jnp.zeros((batch,), jnp.int32)
+
+    cache = M.KVCache.create(cfg, batch, jnp.bfloat16)
+    want, _ = M.decode_step_fn(cfg, w, tok, pos, cache)  # BEFORE fuse:
+    wf = M.fuse_gf4_weights(w, cfg)                      # fuse takes ownership
+    assert wf.layers.w1pe is not None and wf.layers.w1 is None
+    qmm.enable_pallas(True)
+    try:
+        from calm_tpu.ops import pallas_attn
+        pallas_attn.set_interpret(True)
+        cache = M.KVCache.create(cfg, batch, jnp.bfloat16)
+        got, _ = M.decode_step_fn(cfg, wf, tok, pos, cache)
+    finally:
+        qmm.enable_pallas(False)
+        pallas_attn.set_interpret(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=5e-2)
+    # the non-pallas fallback (prefill path) must also run on the replaced
+    # layouts and agree
+    cache = M.KVCache.create(cfg, batch, jnp.bfloat16)
+    got2, _ = M.decode_step_fn(cfg, wf, tok, pos, cache)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want),
                                rtol=5e-2, atol=5e-2)
 
 

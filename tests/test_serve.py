@@ -244,6 +244,25 @@ def test_paged_server_parity(model_path):
     assert pg._paged.pages_in_use() == 0  # everything released
 
 
+def test_paged_device_sampling_greedy_parity(model_path):
+    """Paged decode composed with on-device sampling: logits never leave
+    the device (only the sampled ints do) and greedy output matches the
+    host-sampled paged server."""
+    host = Server(model_path, batch=2, kv_dtype="fp16",
+                  page_rows=16, pool_pages=4)
+    dev = Server(model_path, batch=2, kv_dtype="fp16",
+                 page_rows=16, pool_pages=4, device_sampling=True)
+    outs = []
+    for srv in (host, dev):
+        r1 = srv.submit("hello world", max_tokens=8, temperature=0.0)
+        r2 = srv.submit("the quick", max_tokens=8, temperature=0.0)
+        srv.run_until_drained(max_ticks=60)
+        assert r1.done and r2.done
+        outs.append((r1.text, r2.text))
+    assert outs[0] == outs[1]
+    assert dev._paged.pages_in_use() == 0
+
+
 def test_paged_server_pool_pressure(model_path):
     """When a slot needs a page and the pool is dry, the request finishes
     early with out_of_pages set instead of crashing the batch."""
