@@ -94,6 +94,9 @@ class _PagedSlot:
     pages: list = dataclasses.field(default_factory=list)
     pos: int = 0
     token: int = 0
+    # block indices mapped to SHARED (prefix-cache-pinned) pages: read-only
+    # for this slot — a write there copy-on-writes to a fresh owned page
+    shared: set = dataclasses.field(default_factory=set)
 
 
 class PagedDecoder:
@@ -113,9 +116,15 @@ class PagedDecoder:
 
     def __init__(self, cfg: ModelConfig, weights, n_pages: int,
                  page_rows: int = 512, kv_dtype=jnp.bfloat16,
-                 batch: int = 4):
+                 batch: int = 4, device=None):
         assert cfg.seq_len % page_rows == 0, "seq_len must tile into pages"
         self.cfg = cfg
+        # ``device``: pin this decoder's pool/compute to one device — the
+        # dp-sharded server runs one INDEPENDENT decoder per dp shard
+        # (decode is batch-local; per-shard pools need no collectives)
+        self.device = device
+        if device is not None:
+            weights = jax.device_put(weights, device)
         self.weights = weights
         self.page_rows = page_rows
         self.n_blocks = cfg.seq_len // page_rows
@@ -129,7 +138,13 @@ class PagedDecoder:
         # request _alloc gave page 0 to.
         self.parking = n_pages
         self.pool = create_pool(cfg, n_pages + 1, page_rows, kv_dtype)
+        if device is not None:
+            self.pool = jax.device_put(self.pool, device)
         self.free_pages = list(range(n_pages - 1, -1, -1))
+        # prefix sharing: refs[p] = number of users (slots mapping page p as
+        # shared + prefix-cache entries holding it). Pages with refs > 0
+        # never sit in free_pages; a page frees when its last user lets go.
+        self.page_refs = np.zeros(n_pages, np.int32)
         self.slots = [_PagedSlot() for _ in range(batch)]
         # dead entries point at the slot's own page 0 (reads there are
         # masked; writes never land past the slot's allocated blocks), or at
@@ -154,45 +169,122 @@ class PagedDecoder:
 
     # -- admission ----------------------------------------------------------
 
-    def admit(self, b: int, tokens: list[int]) -> bool:
+    def admit(self, b: int, tokens: list[int], shared_pages=(),
+              hit_rows: int = 0) -> bool:
         """Prefill ``tokens[:-1]`` into slot b's pages; the last token
         becomes the first decode input. Pages are allocated LAZILY — the
         slot takes ceil((len+1)/PR) pages now and grows one page at a time
         as decode crosses block boundaries (bounded by ceil(seq_len/PR):
         the rolling window reuses existing pages past that). False when
-        the pool cannot cover the admission itself."""
+        the pool cannot cover the admission itself.
+
+        ``shared_pages``/``hit_rows``: prefix-cache hit — the first
+        hit_rows (a page multiple) prompt rows already live in those
+        PINNED pool pages; the slot maps them read-only (zero row copies
+        for the decode working set) and prefills only the suffix. The
+        suffix prefill scratch is seeded from the shared pages so its
+        attention sees the prefix."""
         slot = self.slots[b]
         assert not slot.active
+        assert hit_rows % self.page_rows == 0
         n_pre = min(len(tokens) - 1, self.cfg.seq_len - 1)
-        need = max(1, -(-(n_pre + 1) // self.page_rows))
-        pages = self._alloc(need)
+        if hit_rows > n_pre:  # over-long stored prefix: use the page-
+            hit_rows = n_pre // self.page_rows * self.page_rows  # aligned part
+            shared_pages = shared_pages[:hit_rows // self.page_rows]
+        sblocks = hit_rows // self.page_rows
+        need = max(1, -(-(n_pre + 1) // self.page_rows)) - sblocks
+        pages = self._alloc(max(need, 0))
         if pages is None:
             return False
-        slot.pages = pages
+        slot.pages = list(shared_pages[:sblocks]) + pages
+        slot.shared = set(range(sblocks))
+        for p in shared_pages[:sblocks]:
+            self.page_refs[p] += 1
         slot.active = True
         slot.token = tokens[-1]
         slot.pos = n_pre
         self._sync_pt_row(b)
 
-        if n_pre:
+        if n_pre > hit_rows:
             scratch = M.KVCache.create(self.cfg, 1, self.kv_dtype)
+            if self.device is not None:
+                scratch = jax.device_put(scratch, self.device)
+            kd, vd = scratch.k, scratch.v
+            for blk in range(sblocks):  # seed the shared prefix rows
+                kd = _copy_page_to_rows(kd, self.pool.k, blk,
+                                        slot.pages[blk], self.page_rows)
+                vd = _copy_page_to_rows(vd, self.pool.v, blk,
+                                        slot.pages[blk], self.page_rows)
+            scratch = M.KVCache(kd, vd)
             _, scratch = M.prefill(
                 self.cfg, self.weights,
-                jnp.asarray([tokens[:n_pre]], jnp.int32),
-                jnp.zeros((1,), jnp.int32), scratch, logits_mode="none")
+                jnp.asarray([tokens[hit_rows:n_pre]], jnp.int32),
+                jnp.full((1,), hit_rows, jnp.int32), scratch,
+                logits_mode="none")
             kpool, vpool = self.pool.k, self.pool.v
-            for blk in range(-(-n_pre // self.page_rows)):
+            for blk in range(sblocks, -(-n_pre // self.page_rows)):
                 kpool = _copy_rows_to_page(kpool, scratch.k, blk,
-                                           pages[blk], self.page_rows)
+                                           slot.pages[blk], self.page_rows)
                 vpool = _copy_rows_to_page(vpool, scratch.v, blk,
-                                           pages[blk], self.page_rows)
+                                           slot.pages[blk], self.page_rows)
             self.pool = M.KVCache(kpool, vpool)
+        return True
+
+    def pin_prompt(self, b: int, n_rows: int):
+        """Pin the pages fully covering the first ``n_rows`` prompt rows as
+        a shareable prefix (zero-copy save: the pages stay where they are;
+        the slot keeps them mapped read-only — its own later writes CoW).
+        Returns (rows_pinned, page list) — rows_pinned is n_rows truncated
+        to a page multiple; empty when nothing page-aligned to pin."""
+        slot = self.slots[b]
+        full = n_rows // self.page_rows
+        full = min(full, len(slot.pages))
+        if full == 0:
+            return 0, []
+        pages = slot.pages[:full]
+        for j, p in enumerate(pages):
+            self.page_refs[p] += 1          # the cache entry's reference
+            if j not in slot.shared:
+                self.page_refs[p] += 1      # the slot's mapping becomes shared
+                slot.shared.add(j)
+        return full * self.page_rows, pages
+
+    def unpin_pages(self, pages):
+        """Drop a prefix-cache entry's reference (eviction callback)."""
+        for p in pages:
+            self.page_refs[p] -= 1
+            if self.page_refs[p] == 0:
+                self.free_pages.append(p)
+
+    def _cow(self, b: int, blk: int) -> bool:
+        """The slot is about to WRITE a shared block: give it a private
+        copy of the page first. False when the pool is dry."""
+        slot = self.slots[b]
+        got = self._alloc(1)
+        if got is None:
+            return False
+        src, dst = slot.pages[blk], got[0]
+        self.pool = M.KVCache(_copy_page_to_page(self.pool.k, src, dst),
+                              _copy_page_to_page(self.pool.v, src, dst))
+        slot.pages[blk] = dst
+        slot.shared.discard(blk)
+        self.page_refs[src] -= 1
+        if self.page_refs[src] == 0:
+            self.free_pages.append(src)
+        self._sync_pt_row(b)
         return True
 
     def release(self, b: int):
         slot = self.slots[b]
-        self.free_pages.extend(slot.pages)
+        for j, p in enumerate(slot.pages):
+            if j in slot.shared:
+                self.page_refs[p] -= 1      # shared: drop our mapping only
+                if self.page_refs[p] == 0:
+                    self.free_pages.append(p)
+            else:
+                self.free_pages.append(p)
         slot.pages = []
+        slot.shared = set()
         slot.active = False
         self._sync_pt_row(b)
 
@@ -207,9 +299,12 @@ class PagedDecoder:
         return sink + (pos - sink) % (S - sink)
 
     def ensure_capacity(self, b: int) -> bool:
-        """Grow slot b's pages to cover its next write row. False when the
-        pool is dry — the caller decides the pressure policy (the server
-        finishes the request early and flags it; see serve.Server)."""
+        """Grow slot b's pages to cover its next write row, and
+        copy-on-write any SHARED page this step will write (the write row's
+        block; once the slot wraps, also block 0 — the sink rotation
+        rewrites it). False when the pool is dry — the caller decides the
+        pressure policy (the server finishes the request early and flags
+        it; see serve.Server)."""
         s = self.slots[b]
         if not s.active:
             return True
@@ -220,6 +315,11 @@ class PagedDecoder:
                 return False
             s.pages.extend(got)
             self._sync_pt_row(b)
+        if blk in s.shared and not self._cow(b, blk):
+            return False
+        if s.pos + 1 >= self.cfg.seq_len and 0 in s.shared \
+                and not self._cow(b, 0):
+            return False
         return True
 
     def step(self, host: bool = True):
@@ -246,3 +346,93 @@ class PagedDecoder:
             if s.active:
                 s.pos += 1
         return np.asarray(logits, np.float32) if host else logits
+
+    def set_token(self, b: int, tok: int):
+        self.slots[b].token = tok
+
+    def step_sampled(self, key, temps, minps) -> np.ndarray:
+        """One decode step + on-device min-p sampling: only the (B,) token
+        ids transfer to the host (sampling runs on this decoder's own
+        device — the dp-sharded server never funnels logits anywhere)."""
+        from calm_tpu.sampler import device_sample
+        logits = self.step(host=False)
+        return np.asarray(device_sample(logits, key, jnp.asarray(temps),
+                                        jnp.asarray(minps)))
+
+
+class PagedGroup:
+    """dp-sharded paging: one INDEPENDENT PagedDecoder (pool + compute) per
+    dp shard, each pinned to that shard's device.
+
+    Decode is batch-local — dp introduces no collectives — so per-shard
+    pools need no SPMD lockstep at all: each shard's step dispatches
+    asynchronously on its own device and the host only fences when reading
+    results. Multihost: each process constructs decoders ONLY for its own
+    dp shards (its local devices) and serves its own slot range; the dp
+    axis rides the process boundary (DCN), exactly where
+    make_multihost_mesh places it. Slots partition contiguously: local
+    slot ``b`` (global id) maps to decoder (b - own_lo) // per_shard.
+
+    Presents the PagedDecoder surface for the server's tick; ``step`` /
+    ``step_sampled`` return only the LOCAL slots' rows."""
+
+    def __init__(self, cfg: ModelConfig, weights, pool_pages: int,
+                 page_rows: int, kv_dtype, per_shard: int, devices,
+                 own_lo: int = 0):
+        self.page_rows = page_rows
+        self.per = per_shard
+        self.own_lo = own_lo
+        self.decs = [PagedDecoder(cfg, weights, pool_pages, page_rows,
+                                  kv_dtype, per_shard, device=d)
+                     for d in devices]
+
+    def _loc(self, b: int):
+        d, r = divmod(b - self.own_lo, self.per)
+        return self.decs[d], r
+
+    def set_token(self, b: int, tok: int):
+        dec, lb = self._loc(b)
+        dec.slots[lb].token = tok
+
+    def admit(self, b, tokens, shared_pages=(), hit_rows: int = 0) -> bool:
+        dec, lb = self._loc(b)
+        return dec.admit(lb, tokens, shared_pages, hit_rows)
+
+    def release(self, b: int):
+        dec, lb = self._loc(b)
+        dec.release(lb)
+
+    def ensure_capacity(self, b: int) -> bool:
+        dec, lb = self._loc(b)
+        return dec.ensure_capacity(lb)
+
+    def pin_prompt(self, b: int, n_rows: int):
+        dec, lb = self._loc(b)
+        return dec.pin_prompt(lb, n_rows)
+
+    def shard_of(self, b: int) -> int:
+        """Which decoder serves global slot b (prefix caches are
+        per-decoder: pinned page ids only mean something in the pool that
+        owns them)."""
+        return (b - self.own_lo) // self.per
+
+    def pages_in_use(self) -> int:
+        return sum(d.pages_in_use() for d in self.decs)
+
+    def step(self, host: bool = True) -> np.ndarray:
+        # dispatch every shard before fencing any: the per-device programs
+        # run concurrently under jax's async dispatch
+        outs = [d.step(host=False) for d in self.decs]
+        return np.concatenate([np.asarray(o).astype(np.float32)
+                               for o in outs], axis=0)
+
+    def step_sampled(self, key, temps, minps) -> np.ndarray:
+        from calm_tpu.sampler import device_sample
+        keys = jax.random.split(key, len(self.decs))
+        devs = []
+        for i, d in enumerate(self.decs):
+            sl = slice(i * self.per, (i + 1) * self.per)
+            lg = d.step(host=False)
+            devs.append(device_sample(lg, keys[i], jnp.asarray(temps[sl]),
+                                      jnp.asarray(minps[sl])))
+        return np.concatenate([np.asarray(x) for x in devs], axis=0)

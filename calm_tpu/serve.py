@@ -109,7 +109,7 @@ class PrefixCache:
     # row-copy programs compile for a bounded set of lengths
     GRAIN = 16
 
-    def __init__(self, capacity_tokens: int = 16384):
+    def __init__(self, capacity_tokens: int = 16384, on_evict=None):
         self.capacity = capacity_tokens
         self.tokens = 0
         self.hits = 0
@@ -118,6 +118,9 @@ class PrefixCache:
         # length -> stored keys of that length: match probes one hash per
         # DISTINCT stored length instead of scanning every entry
         self._lengths: dict[int, set] = {}
+        # paged mode: entries hold pinned page lists instead of row blocks;
+        # eviction must release the pins (PagedDecoder.unpin_pages)
+        self._on_evict = on_evict
 
     def match(self, toks) -> tuple[int, tuple | None]:
         """Longest stored prefix of ``toks``; marks the entry most-recent."""
@@ -132,21 +135,23 @@ class PrefixCache:
                 return n, self._entries[key]
         return 0, None
 
-    def put(self, toks, k_rows, v_rows):
+    def put(self, toks, *payload):
         key = tuple(toks)
         if key in self._entries:
             return
-        self._entries[key] = (k_rows, v_rows)
+        self._entries[key] = payload if len(payload) != 1 else payload[0]
         self._lengths.setdefault(len(key), set()).add(key)
         self.tokens += len(key)
         while self.tokens > self.capacity and len(self._entries) > 1:
-            old, _ = self._entries.popitem(last=False)
+            old, pay = self._entries.popitem(last=False)
             self.tokens -= len(old)
             bucket = self._lengths.get(len(old))
             if bucket is not None:
                 bucket.discard(old)
                 if not bucket:
                     del self._lengths[len(old)]
+            if self._on_evict is not None:
+                self._on_evict(pay)
 
 
 @dataclasses.dataclass
@@ -186,7 +191,7 @@ class Server:
                  seed: int = 42, mesh=None, plan=None,
                  prefix_cache_tokens: int = 0,
                  page_rows: int = 0, pool_pages: int = 0,
-                 max_pending: int = 0):
+                 max_pending: int = 0, dp_devices=None):
         # optional sharded execution: weights/cache placed on the mesh, the
         # decode/prefill steps run under shard_map (continuous batching on a
         # tp/ep-sharded model; scale hosts with jax.distributed + dp shards)
@@ -220,23 +225,62 @@ class Server:
         self._own_hi = batch if self._nproc == 1 else (self._pid + 1) * per
         # paged KV mode (calm_tpu/paged.py): slots draw attention-block-
         # sized pages from a shared pool — HBM follows the sum of live
-        # context lengths instead of batch x seq_len. Unsharded, host
-        # sampling (the paged decode core owns slot state).
+        # context lengths instead of batch x seq_len. ``dp_devices`` scales
+        # it out: one INDEPENDENT decoder (weights copy + pool) per listed
+        # device, slots partitioned contiguously over them; decode is
+        # batch-local so the shards need no collectives, and under
+        # jax.distributed each process lists only its own local devices
+        # (pool_pages is then PER SHARD).
         self._paged = None
+        self._paged_group = False
         if page_rows:
-            assert not self._sharded, "paged KV is single-device for now"
-            from calm_tpu.paged import PagedDecoder
+            assert not self._sharded, \
+                "paged KV composes with dp via dp_devices, not a mesh"
+            from calm_tpu.paged import PagedDecoder, PagedGroup
             eng = self.engine
-            if not pool_pages:
-                pool_pages = batch * (eng.cfg.seq_len // page_rows)
-            self._paged = PagedDecoder(eng.cfg, eng.weights, pool_pages,
-                                       page_rows, eng._kv_jnp, batch)
+            own = self._own_hi - self._own_lo
+            assert self._nproc == 1 or dp_devices, \
+                "multi-process paged serving needs dp_devices"
+            if dp_devices is not None and (len(dp_devices) > 1
+                                           or self._nproc > 1):
+                assert own % len(dp_devices) == 0, \
+                    "local slots must divide over dp devices"
+                per = own // len(dp_devices)
+                if not pool_pages:
+                    pool_pages = per * (eng.cfg.seq_len // page_rows)
+                self._paged = PagedGroup(eng.cfg, eng.weights, pool_pages,
+                                         page_rows, eng._kv_jnp, per,
+                                         dp_devices, own_lo=self._own_lo)
+                self._paged_group = True
+            else:
+                if not pool_pages:
+                    pool_pages = batch * (eng.cfg.seq_len // page_rows)
+                dev = dp_devices[0] if dp_devices else None
+                self._paged = PagedDecoder(eng.cfg, eng.weights, pool_pages,
+                                           page_rows, eng._kv_jnp, batch,
+                                           device=dev)
             eng.cache = None  # the pool replaces the dense cache
         # prompt prefix sharing (unsharded only: cached rows are host-managed
-        # device blocks; the sharded cache would need per-shard row copies)
-        self.prefix_cache = (PrefixCache(prefix_cache_tokens)
-                             if prefix_cache_tokens and not self._sharded
-                             and not page_rows else None)
+        # device blocks; the sharded cache would need per-shard row copies).
+        # In paged mode the pages ARE the prefix unit: a hit PINS shared
+        # pool pages (zero row copies for the decode working set) and a
+        # save pins the slot's own prompt pages in place; eviction unpins.
+        # dp-sharded paged mode keeps one cache PER decoder (pinned page
+        # ids only mean something in the pool that owns them);
+        # self.prefix_cache stays the single-cache surface otherwise.
+        self.prefix_cache = None
+        self._prefix_caches = None
+        if prefix_cache_tokens and not self._sharded:
+            if self._paged_group:
+                self._prefix_caches = [
+                    PrefixCache(prefix_cache_tokens, on_evict=d.unpin_pages)
+                    for d in self._paged.decs]
+            elif self._paged is not None:
+                self.prefix_cache = PrefixCache(
+                    prefix_cache_tokens,
+                    on_evict=self._paged.unpin_pages)
+            else:
+                self.prefix_cache = PrefixCache(prefix_cache_tokens)
         self.slots = [_Slot() for _ in range(batch)]
         self.pending: deque[Request] = deque()
         self.max_pending = max_pending  # 0 = unbounded
@@ -356,6 +400,13 @@ class Server:
                 jnp.int32(len(suffix)), jnp.int32(b), eng.cache,
                 pos0=jnp.int32(hit))
 
+    def _slot_prefix_cache(self, b: int):
+        """The prefix cache that can serve slot b: dp-sharded paged mode
+        keeps one per decoder (pinned page ids are pool-local)."""
+        if self._prefix_caches is not None:
+            return self._prefix_caches[self._paged.shard_of(b)]
+        return self.prefix_cache
+
     def _admit(self):
         eng = self.engine
         admissions: list[tuple[int, list[int], int]] = []
@@ -372,9 +423,28 @@ class Server:
                 req.truncated_prompt = len(toks) - (eng.cfg.seq_len - 1)
                 toks = toks[: eng.cfg.seq_len - 1]
 
-            if self._paged is not None and not self._paged.admit(b, toks):
-                self.pending.appendleft(req)  # pool full: retry next tick
-                break
+            if self._paged is not None:
+                pre = toks[:-1]
+                pc = self._slot_prefix_cache(b)
+                hit, pages = 0, ()
+                if pc is not None:
+                    hit, pages = pc.match(pre)
+                    if not hit:
+                        pages = ()
+                if not self._paged.admit(b, toks, shared_pages=pages,
+                                         hit_rows=hit):
+                    self.pending.appendleft(req)  # pool full: retry later
+                    break
+                req.cached_prefix = min(hit, len(pre))
+                if pc is not None:
+                    # zero-copy save: pin the full prompt pages in place
+                    pr = self._paged.page_rows
+                    rows_p = len(pre) // pr * pr
+                    key = tuple(pre[:rows_p])
+                    if rows_p and key not in pc._entries:
+                        _, pinned = self._paged.pin_prompt(b, rows_p)
+                        if pinned:
+                            pc.put(key, pinned)
 
             slot.active = True
             slot.req = req
@@ -499,17 +569,29 @@ class Server:
         eng = self.engine
         if self._paged is not None:
             now0 = time.perf_counter()
-            for b, slot in enumerate(self.slots):  # keep decode core synced
+            for b in range(self._own_lo, self._own_hi):  # sync decode core
+                slot = self.slots[b]
                 if not slot.active:
                     continue
-                self._paged.slots[b].token = slot.token
+                self._paged.set_token(b, slot.token)
                 if not self._paged.ensure_capacity(b):
                     # pool pressure: finish this request early with what it
                     # has (flagged) instead of stalling the whole batch
                     self._finish(slot.req, b, now0, out_of_pages=True)
-            if not any(s.active for s in self.slots):
+            if not any(s.active
+                       for s in self.slots[self._own_lo:self._own_hi]):
                 return
-            logits = self._paged.step(host=not self.device_sampling)
+            # both sampled and logits come back ALREADY restricted to this
+            # process's own rows (PagedGroup returns local shards; the
+            # single decoder's batch IS the own range)
+            if self.device_sampling:
+                self._key, sub = jax.random.split(self._key)
+                lo, hi = self._own_lo, self._own_hi
+                sampled = self._paged.step_sampled(
+                    sub, self._temps[lo:hi], self._minps[lo:hi])
+                logits = None
+            else:
+                logits = np.asarray(self._paged.step(), np.float32)
         elif self._sharded:
             logits, eng.cache = self._decode_fn(
                 eng.weights, self._global_batch_arr(self._tokens),
@@ -520,15 +602,16 @@ class Server:
                 jnp.asarray(self._tokens), jnp.asarray(self._pos), eng.cache,
                 rolling=bool(np.any(self._pos + 1 >= eng.cfg.seq_len)))
 
-        if self.device_sampling:
-            from calm_tpu.sampler import device_sample
-            self._key, sub = jax.random.split(self._key)
-            sampled = self._own_rows(device_sample(
-                logits, sub, self._global_batch_arr(self._temps),
-                self._global_batch_arr(self._minps)))
-            logits = None
-        else:
-            logits = self._own_rows(logits).astype(np.float32)
+        if self._paged is None:
+            if self.device_sampling:
+                from calm_tpu.sampler import device_sample
+                self._key, sub = jax.random.split(self._key)
+                sampled = self._own_rows(device_sample(
+                    logits, sub, self._global_batch_arr(self._temps),
+                    self._global_batch_arr(self._minps)))
+                logits = None
+            else:
+                logits = self._own_rows(logits).astype(np.float32)
 
         tok = eng.tokenizer
         now = time.perf_counter()

@@ -374,6 +374,140 @@ def test_prefix_cache_eviction(model_path):
     assert n == 32 and kv == ("k2", "v2")
 
 
+def test_paged_prefix_cache_parity(model_path):
+    """Prefix sharing in paged mode: a hit PINS shared pool pages (no row
+    copies into the slot) and only the suffix prefills; output matches the
+    cache-less paged server."""
+    sys_prompt = "abcd efgh " * 4  # ~40 tokens -> 2 full 16-row pages
+    p1 = sys_prompt + "one"
+    p2 = sys_prompt + "two three"
+
+    plain = Server(model_path, batch=1, kv_dtype="fp16",
+                   page_rows=16, pool_pages=10)
+    w1 = plain.submit(p1, max_tokens=6, temperature=0.0)
+    plain.run_until_drained()
+    w2 = plain.submit(p2, max_tokens=6, temperature=0.0)
+    plain.run_until_drained()
+
+    srv = Server(model_path, batch=1, kv_dtype="fp16",
+                 page_rows=16, pool_pages=10, prefix_cache_tokens=4096)
+    r1 = srv.submit(p1, max_tokens=6, temperature=0.0)
+    srv.run_until_drained()
+    assert r1.cached_prefix == 0                   # cold
+    pinned_pages = int((srv._paged.page_refs > 0).sum())
+    assert pinned_pages >= 1                       # prompt pages pinned in place
+    r2 = srv.submit(p2, max_tokens=6, temperature=0.0)
+    srv.run_until_drained()
+    assert r2.cached_prefix >= 16 and r2.cached_prefix % 16 == 0
+    assert srv.prefix_cache.hits == 1
+    assert r1.text == w1.text and r2.text == w2.text
+    # slots drained: only the cache's pins keep pages out of the free pool
+    assert srv._paged.pages_in_use() == 0
+    n_pages = len(srv._paged.page_refs)
+    assert (len(srv._paged.free_pages)
+            + int((srv._paged.page_refs > 0).sum())) == n_pages
+
+
+def test_paged_prefix_cow_on_wrap(model_path):
+    """A slot decoding past seq_len writes into its (shared) early blocks —
+    copy-on-write must give it private pages and leave the cached prefix
+    intact for later hits."""
+    sys_prompt = "abcd efgh " * 4
+    srv = Server(model_path, batch=1, kv_dtype="fp16",
+                 page_rows=16, pool_pages=12, prefix_cache_tokens=4096)
+    r1 = srv.submit(sys_prompt + "one", max_tokens=6, temperature=0.0)
+    srv.run_until_drained(max_ticks=40)
+    # wraps the 64-row window: forces CoW of the shared write-target blocks
+    r2 = srv.submit(sys_prompt + "xy", max_tokens=40, temperature=0.0)
+    srv.run_until_drained(max_ticks=80)
+    assert r2.done and r2.cached_prefix >= 16
+    # the cached prefix survived the wrap: same prompt still hits and
+    # reproduces r1's text exactly
+    r3 = srv.submit(sys_prompt + "one", max_tokens=6, temperature=0.0)
+    srv.run_until_drained(max_ticks=40)
+    assert r3.cached_prefix >= 16
+    assert r3.text == r1.text
+
+
+def test_paged_prefix_eviction_unpins(model_path):
+    """LRU eviction of a paged prefix entry releases its page pins back to
+    the pool."""
+    srv = Server(model_path, batch=1, kv_dtype="fp16",
+                 page_rows=16, pool_pages=10, prefix_cache_tokens=40)
+    srv.submit("abcd efgh " * 4 + "one", max_tokens=4, temperature=0.0)
+    srv.run_until_drained(max_ticks=40)
+    srv.submit("wxyz stuv " * 4 + "two", max_tokens=4, temperature=0.0)
+    srv.run_until_drained(max_ticks=40)
+    # capacity 40 tokens holds one ~32-token prefix: the first was evicted
+    assert len(srv.prefix_cache._entries) == 1
+    n_pages = len(srv._paged.page_refs)
+    assert (len(srv._paged.free_pages)
+            + int((srv._paged.page_refs > 0).sum())) == n_pages
+    assert srv._paged.pages_in_use() == 0
+
+
+def test_paged_dp_group_parity(model_path):
+    """dp-sharded paged serving: one independent decoder per device, slots
+    partitioned over them — outputs match the single-decoder paged server."""
+    import jax
+    prompts = ["AB", "zq", "hello world", "the quick"]
+
+    plain = Server(model_path, batch=4, kv_dtype="fp16",
+                   page_rows=16, pool_pages=16)
+    want = [plain.submit(p, max_tokens=6, temperature=0.0) for p in prompts]
+    plain.run_until_drained(max_ticks=40)
+
+    srv = Server(model_path, batch=4, kv_dtype="fp16",
+                 page_rows=16, dp_devices=jax.devices("cpu")[:2])
+    got = [srv.submit(p, max_tokens=6, temperature=0.0) for p in prompts]
+    srv.run_until_drained(max_ticks=40)
+    assert srv._paged_group and len(srv._paged.decs) == 2
+    assert all(r.done for r in got)
+    assert [r.text for r in got] == [r.text for r in want]
+    assert srv._paged.pages_in_use() == 0  # all pools drained
+
+
+def test_paged_dp_group_device_sampling(model_path):
+    """Greedy parity with sampling running on each dp shard's own device."""
+    import jax
+    prompts = ["AB", "zq", "hello world", "the quick"]
+    host = Server(model_path, batch=4, kv_dtype="fp16",
+                  page_rows=16, dp_devices=jax.devices("cpu")[:2])
+    dev = Server(model_path, batch=4, kv_dtype="fp16",
+                 page_rows=16, dp_devices=jax.devices("cpu")[:2],
+                 device_sampling=True)
+    outs = []
+    for srv in (host, dev):
+        rs = [srv.submit(p, max_tokens=6, temperature=0.0) for p in prompts]
+        srv.run_until_drained(max_ticks=40)
+        assert all(r.done for r in rs)
+        outs.append([r.text for r in rs])
+    assert outs[0] == outs[1]
+
+
+def test_paged_dp_group_prefix_caches(model_path):
+    """Per-shard prefix caches in dp-paged mode: a shard's second request
+    with the same system prompt hits ITS cache; outputs stay exact."""
+    import jax
+    sys_prompt = "abcd efgh " * 4
+    srv = Server(model_path, batch=2, kv_dtype="fp16", page_rows=16,
+                 dp_devices=jax.devices("cpu")[:2],
+                 prefix_cache_tokens=4096)
+    assert srv._prefix_caches is not None and len(srv._prefix_caches) == 2
+    # wave 1: one request per shard (slots 0 and 1), cold caches
+    a1 = srv.submit(sys_prompt + "one", max_tokens=4, temperature=0.0)
+    b1 = srv.submit(sys_prompt + "two", max_tokens=4, temperature=0.0)
+    srv.run_until_drained(max_ticks=40)
+    assert a1.cached_prefix == 0 and b1.cached_prefix == 0
+    # wave 2: both shards hit their own cache
+    a2 = srv.submit(sys_prompt + "one", max_tokens=4, temperature=0.0)
+    b2 = srv.submit(sys_prompt + "two", max_tokens=4, temperature=0.0)
+    srv.run_until_drained(max_ticks=40)
+    assert a2.cached_prefix >= 16 and b2.cached_prefix >= 16
+    assert [c.hits for c in srv._prefix_caches] == [1, 1]
+    assert a2.text == a1.text and b2.text == b1.text
+
+
 def test_http_server(model_path):
     """HTTP front-end: health, blocking generate, streaming generate, stats."""
     import json
