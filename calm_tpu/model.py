@@ -655,7 +655,7 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
     reassembles (reference has no EP — single-GPU gathers all active experts,
     src/infer.cu:597-620).
     """
-    gate = qmatmul(xb2, lw.moegate, layer=layer)           # (B, T, E) replicated
+    gate = qmatmul(xb2, lw.moegate, layer=layer, stage="moegate")  # (B, T, E) replicated
     if cfg.moe_renorm:
         top_vals, top_idx = jax.lax.top_k(gate, cfg.n_experts_ac)
         moe_w = jax.nn.softmax(top_vals, axis=-1)          # (B, T, A)
@@ -814,7 +814,7 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         xb = _norm(cfg, x.reshape(B, D), row(lw.an_pl))
         qkv = pallas_qmm.qmm_decode(
             xb.reshape(B, 8, D // 8), lw.wqkv, "gf4", layer,
-            pre_planed=True).reshape(B, 1, q_local + 2 * kv_local)
+            pre_planed=True, stage="wqkv").reshape(B, 1, q_local + 2 * kv_local)
     else:
         xb = _norm(cfg, x, row(lw.attn_norm))
     if qkv is None and pallas_decode_enabled() and lw.wqkv is not None:
@@ -824,15 +824,15 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
             # projections (3 dependent calls -> 1, see fuse_gf4_weights)
             qkv = pallas_qmm.qmm_decode(
                 xb.reshape(B * T, D).astype(jnp.float32), lw.wqkv, "gf4",
-                layer).reshape(B, T, q_local + 2 * kv_local)
+                layer, stage="wqkv").reshape(B, T, q_local + 2 * kv_local)
     if qkv is not None:
         q = qkv[..., :q_local] + row(lw.bq)
         k = qkv[..., q_local:q_local + kv_local] + row(lw.bk)
         v = qkv[..., q_local + kv_local:] + row(lw.bv)
     else:
-        q = qmatmul(xb, lw.wq, layer=layer) + row(lw.bq)
-        k = qmatmul(xb, lw.wk, layer=layer) + row(lw.bk)
-        v = qmatmul(xb, lw.wv, layer=layer) + row(lw.bv)
+        q = qmatmul(xb, lw.wq, layer=layer, stage="wqkv") + row(lw.bq)
+        k = qmatmul(xb, lw.wk, layer=layer, stage="wqkv") + row(lw.bk)
+        v = qmatmul(xb, lw.wv, layer=layer, stage="wqkv") + row(lw.bv)
     if cfg.norm_qk:  # OLMoE: RMSNorm the full q/k vectors before clip/RoPE
         q = _qk_norm(cfg, q, row(lw.q_norm), cfg.q_dim, plan.tp)
         k = _qk_norm(cfg, k, row(lw.k_norm), cfg.kv_dim, plan.tp)
@@ -971,7 +971,7 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         return x, kc, vc, ((kh[0, :, :, 0, :], vh[0, :, :, 0, :])
                            if defer else None)
 
-    x = x + _close_residual(qmatmul(att, lw.wo, layer=layer), plan)
+    x = x + _close_residual(qmatmul(att, lw.wo, layer=layer, stage="wo"), plan)
 
     # parallel-norm architectures (Cohere) feed the ffn from the attn-normed
     # input instead of re-normalizing (reference: src/infer.c:417-420)
@@ -989,9 +989,9 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
                     xb2.reshape(B * T, D).astype(jnp.float32), lw.w1p,
                     lw.w3p, lw.w2t, layer, cfg.act_gelu).reshape(B, T, D)
         if ffn is None:
-            h = (_act(cfg, qmatmul(xb2, lw.w1, layer=layer))
-                 * qmatmul(xb2, lw.w3, layer=layer))
-            ffn = qmatmul(h, lw.w2, layer=layer)
+            h = (_act(cfg, qmatmul(xb2, lw.w1, layer=layer, stage="ffn"))
+                 * qmatmul(xb2, lw.w3, layer=layer, stage="ffn"))
+            ffn = qmatmul(h, lw.w2, layer=layer, stage="ffn")
         x = x + _close_residual(ffn, plan)
 
     # deferred mode: hand the fresh rows (B, KVH, hd) up for the post-scan
@@ -1084,7 +1084,7 @@ def _head(cfg: ModelConfig, w: Weights, x, logits_mode: str):
     if logits_mode == "last":
         x = x[:, -1:, :]
     x = _norm(cfg, x, w.final_norm)
-    logits = qmatmul(x, w.output)  # (B, T or 1, V_local)
+    logits = qmatmul(x, w.output, stage="head")  # (B, T or 1, V_local)
     if logits_mode == "last":
         logits = logits[:, 0, :]
     return logits

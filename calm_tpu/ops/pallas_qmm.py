@@ -121,8 +121,19 @@ def _layered_gf4_kernel(lref, xp_ref, w_ref, o_ref):
     o_ref[:] = acc
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("fmt", "interpret", "pre_planed"))
+@functools.lru_cache(maxsize=None)
+def _qmm_jit(stage: str):
+    """Per-stage jitted instance of the matvec: the function NAME carries
+    the stage tag (``_qmm__wqkv`` etc.), which is what device traces show
+    for the custom call — profiler.trace_table reads the tag back instead
+    of guessing stages from wrapper-name fragments (the cudaprof analogue
+    of an explicit kernel label, tools/cudaprof.cu:162-213)."""
+    def fn(x, wdata, layer, fmt, interpret, pre_planed=False):
+        return _qmm(x, wdata, layer, fmt, interpret, pre_planed)
+    fn.__name__ = fn.__qualname__ = f"_qmm__{stage}" if stage else "_qmm"
+    return jax.jit(fn, static_argnames=("fmt", "interpret", "pre_planed"))
+
+
 def _qmm(x, wdata, layer, fmt: str, interpret: bool,
          pre_planed: bool = False):
     """Matvec against layer ``layer`` of the stacked (L, d, n_packed) weight.
@@ -202,15 +213,17 @@ def _qmm(x, wdata, layer, fmt: str, interpret: bool,
 
 
 def qmm_decode(x: jax.Array, wdata: jax.Array, fmt: str,
-               layer=None, pre_planed: bool = False) -> jax.Array:
+               layer=None, pre_planed: bool = False,
+               stage: str = "") -> jax.Array:
     """x (B, n) f32 @ W[layer]^T for packed stacked W (L, d, n_packed)
     -> (B, d) f32. A 2-D W is treated as a single-layer stack. With
-    ``pre_planed`` (gf4 only) x is (B, 8, n/8) in plane-permuted form."""
+    ``pre_planed`` (gf4 only) x is (B, 8, n/8) in plane-permuted form.
+    ``stage`` tags the kernel's trace name (profiler.trace_table)."""
     if wdata.ndim == 2:
         wdata = wdata[None]
         layer = jnp.int32(0)
-    return _qmm(x, wdata, jnp.asarray(layer, jnp.int32), fmt, _INTERPRET,
-                pre_planed=pre_planed)
+    return _qmm_jit(stage)(x, wdata, jnp.asarray(layer, jnp.int32), fmt,
+                           _INTERPRET, pre_planed=pre_planed)
 
 
 # ---------------------------------------------------------------------------

@@ -130,7 +130,7 @@ def enable_precise(on: bool = True):
 
 
 def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32,
-            layer=None) -> jax.Array:
+            layer=None, stage: str = "") -> jax.Array:
     """x (..., n) @ W^T for W (d, n) logical -> (..., d).
 
     When ``layer`` is given, qt.data is the LAYER-STACKED (L, d, n_packed)
@@ -166,7 +166,7 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32,
                 rows *= s
             out = pallas_qmm.qmm_decode(
                 x.reshape(rows, x.shape[-1]).astype(jnp.float32),
-                qt.data, qt.fmt, layer)
+                qt.data, qt.fmt, layer, stage=stage)
             return out.reshape(*lead, out.shape[-1])
 
     data = qt.data

@@ -167,6 +167,8 @@ class OpStat:
                       # compiler's own estimate; pallas kernels carry their
                       # cost_estimate through) — drives the achieved-GB/s
                       # column without analytic guesswork
+    flops: int = 0    # summed "flops" from the event args (MXU column)
+    transc: int = 0   # summed "transcendentals" (exp/erf — VPU column)
     _m2: float = 0.0  # sum of squared durations (for the ±std column)
 
     @property
@@ -226,53 +228,123 @@ def parse_trace(trace_dir: str) -> list[OpStat]:
             st.count += 1
             st.total_us += dur
             st._m2 += dur * dur
-            try:
-                st.bytes += int(ev.get("args", {}).get("bytes_accessed", 0))
-            except (TypeError, ValueError):
-                pass
+            args = ev.get("args", {})
+            for field, key in (("bytes", "bytes_accessed"),
+                               ("flops", "flops"),
+                               ("transc", "transcendentals")):
+                try:
+                    setattr(st, field,
+                            getattr(st, field) + int(args.get(key, 0)))
+                except (TypeError, ValueError):
+                    pass
     return sorted(stats.values(), key=lambda s: -s.total_us)
 
 
-# trace-op-name fragment -> analytic stage key (stage_bytes) for achieved
-# GB/s attribution. Pallas custom calls appear in the trace under their
-# JITTED WRAPPER names (e.g. `_gf4_ffn.5`, `_qmm.18`, `_decode_attention.5`
-# — verified on hardware), not the kernel-body function names.
-_STAGE_PATTERNS = (
-    ("_gf4_ffn", "gf4 fused ffn", ("ffn",)),
-    ("_qmm_moe_dense", "moe expert matvec", ("ffn",)),
-    ("_qmm.", "gf4 matvec (qkv/wo/head)", ("wqkv", "wo", "lm_head")),
-    ("_decode_attention", "decode attention", ("attn_read_kv",)),
-    ("_prefill_attention", "prefill attention", ("attn_read_kv",)),
-)
+# peak VPU element-op rates (ops/s per chip): 8 sublanes x 128 lanes x
+# 4 ALUs x clock, clock inferred from the MXU peak (CHIP_FLOPS /
+# (n_mxu * 128*128*2)). Rough diagnostic peaks — good to ~10-20%, which is
+# enough to name the limiting unit (the cudaprof.cu:102-114 analogue of
+# the SM-occupancy limiter).
+CHIP_VPU_OPS = {
+    "TPU v4": 4.3e12,
+    "TPU v5 lite": 6.1e12,
+    "TPU v5e": 6.1e12,
+    "TPU v5": 7.2e12,
+    "TPU v5p": 7.2e12,
+    "TPU v6 lite": 14e12,
+    "TPU v6e": 14e12,
+    "cpu": 1e11,
+}
+
+# VPU element ops charged per byte streamed, by stage tag. These are the
+# IN-KERNEL dequant/decode costs the flops field can't see (it counts MAC
+# flops only): gf4 spends ~5 integer ops per 4-bit value (shift, mask,
+# sub, scale decode, fma feed — docs/PERF_NOTES.md "gf4 plane-dot") =
+# ~10 ops/byte of packed weights. exp() is charged separately via the
+# transcendentals field at ~8 VPU ops each.
+_VPU_DECODE_OPS_PER_BYTE = {"gf4": 10.0}
+_OPS_PER_TRANSCENDENTAL = 8.0
+
+# kernel-name -> (stage label, vpu decode class). Explicit ``__<stage>``
+# tags (see pallas_qmm._qmm_jit) win; these base names cover the kernels
+# whose name IS the stage already.
+_KERNEL_STAGES = {
+    "_qmm": ("gf4 matvec", "gf4"),
+    "_gf4_ffn": ("gf4 fused ffn", "gf4"),
+    "_gf4_offn": ("gf4 wo+ffn", "gf4"),
+    "_gf4_moe_ffn": ("gf4 moe ffn", "gf4"),
+    "_qmm_moe_dense": ("moe expert matvec", "gf4"),
+    "_decode_attention": ("decode attention", None),
+    "_prefill_attention": ("prefill attention", None),
+}
+
+
+def _op_stage(name: str):
+    """(stage label, vpu decode class) for a trace op name. Stage tags ride
+    the kernel NAME (``_qmm__wqkv.18`` -> ``wqkv``) — explicit labels, not
+    fragment guessing."""
+    base = name.split(".")[0]
+    if "__" in base:
+        root, tag = base.rsplit("__", 1)
+        _, decode = _KERNEL_STAGES.get(root, (None, None))
+        return tag, decode
+    if base in _KERNEL_STAGES:
+        return _KERNEL_STAGES[base]
+    return None, None
 
 
 def trace_table(trace_dir: str, cfg: ModelConfig | None = None,
                 steps: int = 1, kv_bits: int = 16, pos: int = 0,
-                top: int = 16) -> str:
+                top: int = 16, topo: Topology | None = None) -> str:
     """Format the measured per-op table (the cudaprof.cu:162-213 report):
     count, mean ± std, total time, share, achieved GB/s from each event's
-    own bytes_accessed, and a stage label for recognized kernels."""
+    own bytes_accessed, and HBM / MXU / VPU utilization percentages with
+    the limiting unit named per row (cudaprof's SM-occupancy analogue).
+
+    MXU%% comes from each op's own flops estimate vs the chip peak; VPU%%
+    charges the per-byte dequant cost of tagged quantized kernels plus
+    ~8 ops per transcendental — so a gf4 row directly shows whether the
+    decode ALU or the HBM stream is the bound."""
     stats = parse_trace(trace_dir)
     if not stats:
         return "# trace: no device events found"
     total = sum(s.total_us for s in stats)
     del cfg, kv_bits, pos  # kept for API stability; bytes come from the trace
+    topo = topo or detect_topology()
+    hbm_peak = topo.hbm_gbps_per_chip * 1e9
+    mxu_peak = CHIP_FLOPS.get(topo.device_kind, 1e12)
+    vpu_peak = CHIP_VPU_OPS.get(topo.device_kind, 1e11)
+    for k in CHIP_FLOPS:
+        if topo.device_kind.startswith(k):
+            mxu_peak = CHIP_FLOPS[k]
+            vpu_peak = CHIP_VPU_OPS[k]
+            break
     lines = [f"# measured per-op table ({trace_dir}; device total "
              f"{total / 1000:.2f} ms over {steps} step(s))"]
-    lines.append(f"# {'op':<44} {'calls':>6} {'mean us':>9} {'±std':>7} "
-                 f"{'total ms':>9} {'share':>6}  achieved")
+    lines.append(f"# {'op':<40} {'calls':>6} {'mean us':>8} {'±std':>6} "
+                 f"{'total ms':>8} {'share':>6} {'GB/s':>5} {'HBM%':>5} "
+                 f"{'MXU%':>5} {'VPU%':>5}  bound")
     for s in stats[:top]:
-        ach = ""
-        if s.total_us and s.bytes / max(s.count, 1) >= 1e6:
-            # only attribute ops that actually move memory (control-flow
-            # wrappers carry token-sized bytes_accessed)
-            ach = f"{s.bytes / 1e9 / (s.total_us / 1e6):6.0f} GB/s"
-            for pat, label, _keys in _STAGE_PATTERNS:
-                if pat in s.name:
-                    ach += f" ({label})"
-                    break
-        nm = s.name if len(s.name) <= 44 else s.name[:41] + "..."
-        lines.append(f"# {nm:<44} {s.count:>6} {s.mean_us:>9.1f} "
-                     f"{s.std_us:>7.1f} {s.total_us / 1000:>9.2f} "
-                     f"{100 * s.total_us / total:>5.1f}%  {ach}")
+        sec = s.total_us / 1e6
+        big = s.total_us and s.bytes / max(s.count, 1) >= 1e6
+        # only attribute ops that actually move memory (control-flow
+        # wrappers carry token-sized bytes_accessed)
+        stage, decode = _op_stage(s.name) if big else (None, None)
+        gbs = s.bytes / 1e9 / sec if big else 0.0
+        hbm = 100.0 * s.bytes / sec / hbm_peak if big else 0.0
+        mxu = 100.0 * s.flops / sec / mxu_peak if big else 0.0
+        vpu_ops = _OPS_PER_TRANSCENDENTAL * s.transc
+        if decode:
+            vpu_ops += _VPU_DECODE_OPS_PER_BYTE[decode] * s.bytes
+        vpu = 100.0 * vpu_ops / sec / vpu_peak if big else 0.0
+        tail = ""
+        if big:
+            units = {"hbm": hbm, "mxu": mxu, "vpu": vpu}
+            bound = max(units, key=units.get)
+            tail = (f"{gbs:5.0f} {hbm:5.1f} {mxu:5.1f} {vpu:5.1f}  {bound}"
+                    + (f" ({stage})" if stage else ""))
+        nm = s.name if len(s.name) <= 40 else s.name[:37] + "..."
+        lines.append(f"# {nm:<40} {s.count:>6} {s.mean_us:>8.1f} "
+                     f"{s.std_us:>6.1f} {s.total_us / 1000:>8.2f} "
+                     f"{100 * s.total_us / total:>5.1f}% {tail}")
     return "\n".join(lines)

@@ -85,6 +85,59 @@ def test_parse_trace_and_table(tmp_path):
     totals = [s.total_us for s in stats]
     assert totals == sorted(totals, reverse=True)
 
-    table = trace_table(str(tmp_path / "tr"), tiny_config(), steps=3)
+    table = trace_table(str(tmp_path / "tr"), tiny_config(), steps=3,
+                        topo=TOPO)
     assert "per-op table" in table
     assert "calls" in table and "share" in table
+    # v2 columns: per-unit utilization + the limiting unit
+    assert "HBM%" in table and "MXU%" in table and "VPU%" in table
+
+
+def test_op_stage_tags():
+    """Explicit ``__<stage>`` kernel-name tags and known kernel base names
+    resolve to stage labels; unknown ops resolve to none."""
+    from calm_tpu.profiler import _op_stage
+
+    assert _op_stage("_qmm__wqkv.18") == ("wqkv", "gf4")
+    assert _op_stage("_qmm__wo.3") == ("wo", "gf4")
+    assert _op_stage("_qmm.18") == ("gf4 matvec", "gf4")
+    assert _op_stage("_gf4_ffn.5") == ("gf4 fused ffn", "gf4")
+    assert _op_stage("_decode_attention.7")[1] is None
+    assert _op_stage("fusion.123") == (None, None)
+
+
+def test_trace_table_utilization_math(tmp_path):
+    """Synthetic trace: a 1 ms op moving 600 MB with known flops /
+    transcendentals produces the expected HBM/MXU/VPU percentages and
+    limiter tag against the v5e peaks."""
+    import gzip
+    import json
+    import os
+
+    from calm_tpu.profiler import trace_table
+
+    run = tmp_path / "tr" / "plugins" / "profile" / "run1"
+    os.makedirs(run)
+    events = [
+        {"ph": "M", "name": "process_name", "pid": 7,
+         "args": {"name": "/device:TPU:0"}},
+        # gf4-tagged kernel: 600 MB in 1 ms = 600 GB/s = 73.3% of 819;
+        # VPU: 10 ops/byte * 600 MB = 6e9 ops in 1 ms = 6e12 ops/s = 98.4%
+        # of 6.1e12 -> vpu-bound
+        {"ph": "X", "pid": 7, "name": "_qmm__wqkv.1", "ts": 0, "dur": 1000,
+         "args": {"bytes_accessed": 600_000_000, "flops": 1_000_000}},
+        # untagged op: 500 MB in 1 ms, flops 100e9 in 1 ms = 100e12 = 50.8%
+        # of 197e12 MXU vs 61% HBM -> hbm-bound
+        {"ph": "X", "pid": 7, "name": "fusion.9", "ts": 2000, "dur": 1000,
+         "args": {"bytes_accessed": 500_000_000, "flops": 100_000_000_000}},
+    ]
+    with gzip.open(run / "x.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    table = trace_table(str(tmp_path / "tr"), steps=1, topo=TOPO)
+    lines = {l.split()[1]: l for l in table.splitlines() if "_qmm" in l
+             or "fusion" in l}
+    q = lines["_qmm__wqkv.1"]
+    assert "vpu (wqkv)" in q and " 600 " in q
+    f = lines["fusion.9"]
+    assert f.rstrip().endswith("hbm") and " 50.8 " in f
