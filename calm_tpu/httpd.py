@@ -87,17 +87,24 @@ def make_handler(sched: _Scheduler):
                                  "model": sched.server.engine.banner()})
             elif self.path == "/v1/stats":
                 srv = sched.server
-                pc = srv.prefix_cache
+                # dp-paged mode keeps one prefix cache per shard: report
+                # the aggregate, same shape as the single-cache counters
+                pcs = ([srv.prefix_cache] if srv.prefix_cache is not None
+                       else list(srv._prefix_caches or ()))
                 self._json(200, {
                     "slots": srv.batch,
                     "active": sum(s.active for s in srv.slots),
                     "pending": len(srv.pending),
                     "rejected": srv.rejected,
-                    "prefix_cache": (None if pc is None else
-                                     {"entries": len(pc._entries),
-                                      "tokens": pc.tokens,
-                                      "hits": pc.hits,
-                                      "hit_tokens": pc.hit_tokens}),
+                    "prefix_cache": (None if not pcs else
+                                     {"entries": sum(len(p._entries)
+                                                     for p in pcs),
+                                      "tokens": sum(p.tokens for p in pcs),
+                                      "hits": sum(p.hits for p in pcs),
+                                      "hit_tokens": sum(p.hit_tokens
+                                                        for p in pcs)}),
+                    "pages_in_use": (None if srv._paged is None
+                                     else srv._paged.pages_in_use()),
                 })
             else:
                 self._json(404, {"error": "not found"})
@@ -213,13 +220,22 @@ def main(argv=None):
                     help="pending-queue bound (submit beyond it -> 429)")
     ap.add_argument("--timeout-s", type=float, default=0.0,
                     help="default per-request deadline (0 = none)")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="paged mode: shard slots over this many local "
+                         "devices (one independent pool+decoder each; "
+                         "requires --page-rows, batch %% dp == 0)")
     args = ap.parse_args(argv)
 
+    dp_devices = None
+    if args.dp:
+        import jax
+        assert args.page_rows, "--dp needs --page-rows (paged serving)"
+        dp_devices = jax.devices()[: args.dp]
     server = Server(args.checkpoint, batch=args.batch, context=args.context,
                     kv_dtype=args.kv, device_sampling=args.device_sampling,
                     prefix_cache_tokens=args.prefix_cache_tokens,
                     page_rows=args.page_rows, pool_pages=args.pool_pages,
-                    max_pending=args.max_pending)
+                    max_pending=args.max_pending, dp_devices=dp_devices)
     print(server.engine.banner())
     httpd = serve_http(server, args.host, args.port,
                        default_timeout_s=args.timeout_s)

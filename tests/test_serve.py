@@ -554,6 +554,43 @@ def test_http_server(model_path):
         httpd.scheduler.stop()
 
 
+def test_http_dp_paged_stats(model_path):
+    """HTTP stats aggregate per-shard prefix caches and report pool usage
+    in dp-paged mode."""
+    import json
+    import threading
+    import urllib.request
+
+    import jax
+
+    from calm_tpu.httpd import serve_http
+
+    srv = Server(model_path, batch=2, kv_dtype="fp16", page_rows=16,
+                 dp_devices=jax.devices("cpu")[:2],
+                 prefix_cache_tokens=1024)
+    httpd = serve_http(srv, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        body = json.dumps({"prompt": "abcd efgh " * 4, "max_tokens": 4,
+                           "temperature": 0.0}).encode()
+        req = urllib.request.Request(
+            f"{base}/v1/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        assert out["tokens"] >= 1
+        with urllib.request.urlopen(f"{base}/v1/stats", timeout=30) as r:
+            stats = json.load(r)
+        assert stats["slots"] == 2
+        assert stats["prefix_cache"]["entries"] >= 1  # pinned prompt pages
+        assert stats["pages_in_use"] >= 0
+    finally:
+        httpd.shutdown()
+        httpd.scheduler.stop()
+
+
 # -- request lifecycle hardening (queue bound / deadline / cancellation) ----
 
 
