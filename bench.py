@@ -65,10 +65,7 @@ def bench_decode(cfg: ModelConfig, kv_dtype, steps: int, pos0: int,
     (README.md:86,111). Returns (seconds for ``steps`` tokens, tokens)."""
     import numpy as np
 
-    kv_item = jnp.dtype(kv_dtype).itemsize
-    reserve = (2 * cfg.n_layers * cfg.kv_dim * cfg.seq_len * batch * kv_item
-               + 1_000_000_000)
-    w = M.fuse_gf4_weights(synth_weights(cfg), cfg, reserve_bytes=reserve)
+    w = M.fuse_gf4_weights(synth_weights(cfg), cfg)
     jax.block_until_ready(w)
 
     def run(n):

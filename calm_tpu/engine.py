@@ -88,10 +88,6 @@ class Engine:
         self.cfg = ModelConfig.from_metadata(self.tf.metadata, context)
         self.tokenizer = Tokenizer.from_container(self.tf)
 
-        # resolve the KV dtype BEFORE the fusion-budget decision: the fused
-        # gf4 layouts compete with the real cache for HBM, so the reserve
-        # must use the cache that will actually be allocated (an explicit
-        # kv_dtype="bf16" at long context doubles it vs the >4096 default)
         if kv_dtype is None:
             kv_dtype = "fp8" if self.cfg.seq_len > 4096 else "bf16"
         if kv_dtype == "fp16" and jax.default_backend() == "tpu":
@@ -106,25 +102,15 @@ class Engine:
         if lazy_weights:
             self.weights = None
         else:
-            # fused gf4 FFN planes ride in the cached pytree so engines
-            # sharing a container share one copy of them too; reserve the
-            # KV cache + activation headroom when tiering fusion
-            reserve = (2 * self.cfg.n_layers * self.cfg.kv_dim
-                       * self.cfg.seq_len * batch * (self.kv_bits // 8)
-                       + 1_000_000_000)
+            # fused gf4 layouts REPLACE the naturals (zero HBM duplication,
+            # model.fuse_gf4_weights) — the fused pytree is context/batch-
+            # independent, so engines sharing a container share one copy
             st = os.stat(path)
-            # the reserve is part of the key exactly when it can change the
-            # pytree (gf4 dense fusion tiers): a tier computed for one
-            # batch/context must not be silently reused by a later Engine
-            # whose larger cache leaves less HBM for fused weight copies.
-            # Other formats fuse nothing — they share across any context.
-            tiered = self.cfg.dtype == "gf4" and not self.cfg.n_experts
-            wkey = (os.path.realpath(path), st.st_mtime_ns, st.st_size,
-                    reserve if tiered else None)
+            wkey = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
             w = _WEIGHTS_CACHE.get(wkey)
             if w is None:
                 w = M.fuse_gf4_weights(M.load_weights(self.tf, self.cfg),
-                                       self.cfg, reserve_bytes=reserve)
+                                       self.cfg)
                 _WEIGHTS_CACHE[wkey] = w
             self.weights = w
         self.batch = batch

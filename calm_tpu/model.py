@@ -292,127 +292,94 @@ def _is_desc(x):
 
 def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
                      reserve_bytes: int = 0) -> Weights:
-    """Build the plane-major w1/w3 rearrangements that feed the fused gf4
-    FFN kernel (pallas_qmm.gf4_ffn): (L, H, D/8) -> (L, 8, H/8, D/8) with
-    [l, k, c] = w1[l, 8c+k] — a pure row shuffle of the packed words (the
-    TPU analogue of the Metal backend's load-time weight massage,
-    src/infer.m:134-164), done ONCE on device at load. No-op for non-gf4,
-    MoE, or already-fused weights. Costs one extra copy of w1/w3 in HBM
-    (the original stays for prefill's XLA path and tp sharding).
+    """Re-lay-out gf4 weights into the plane-major decode layouts IN PLACE
+    of the naturals — the TPU analogue of the Metal backend's load-time
+    weight massage (src/infer.m:134-164) taken to its conclusion: every
+    layout is a pure permutation of the packed words (same bytes), the
+    natural original is DROPPED once its permutation exists, and the XLA
+    paths (prefill, CPU, Pallas-declined shapes) consume the permuted
+    layouts directly (ops/qmm.py qmatmul_w1p/_w2t/_wo_p). Zero HBM
+    duplication -> FULL fusion at any model size / KV dtype; peak device
+    transient during the massage is one weight stack.
 
-    TAKES OWNERSHIP of ``w`` for the MoE tier: the input pytree is mutated
-    (w1/w3 become None — their buffers are re-laid-out, not copied). Don't
-    reuse the argument after calling; use the return value."""
+    ``reserve_bytes`` is accepted for API compatibility and ignored — with
+    no duplicates there is no budget to tier against.
+
+    TAKES OWNERSHIP of ``w``: the input pytree is mutated (originals become
+    None as their re-laid-out buffers land). Don't reuse the argument after
+    calling; use the return value. No-op for non-gf4 or already-fused
+    weights."""
+    del reserve_bytes
     if (cfg.dtype != "gf4" or w.layers.w1p is not None
             or w.layers.w1pe is not None
             or w.layers.wqkv is not None or cfg.hidden_dim % 8):
         return w
+    layers = w.layers
+
+    def take(field):
+        d = jnp.asarray(getattr(layers, field).data)
+        setattr(layers, field, None)
+        return d
+
+    def settle(x):
+        jax.block_until_ready(x)
+        return x
+
+    # qkv row-concat: one kernel call instead of three. The concat is the
+    # only non-permutation (it copies); drop the originals right after so
+    # the transient is one qkv group, not two.
+    wqkv = settle(jnp.concatenate([take("wq"), take("wk"), take("wv")],
+                                  axis=1))
     if cfg.n_experts:
-        # MoE: w1/w3 are REPLACED by per-expert plane-major layouts (a pure
-        # row permutation — same bytes, no HBM duplicate; peak transient =
-        # one matrix stack while permuting) feeding the one-call fused MoE
-        # FFN sweep (pallas_qmm.gf4_moe_ffn); w2 stays NATURAL — the fused
-        # kernel tiles it over output rows where natural is contiguous. The
-        # qkv row-concat still saves 2 calls/layer.
-        layers = w.layers
-        wqkv = jnp.concatenate([jnp.asarray(layers.wq.data),
-                                jnp.asarray(layers.wk.data),
-                                jnp.asarray(layers.wv.data)], axis=1)
+        # MoE: per-expert plane-major w1/w3 feed the one-call fused FFN
+        # sweep (pallas_qmm.gf4_moe_ffn); w2 stays NATURAL — the fused
+        # kernel tiles it over output rows where natural is contiguous.
         He = layers.w1.shape[2]
         if He % 8 == 0:
             Lw, E = layers.w1.data.shape[:2]
             gd = layers.w1.data.shape[3]
 
             def planes_e(d):
-                return (jnp.asarray(d).reshape(Lw, E, He // 8, 8, gd)
-                        .transpose(0, 1, 3, 2, 4))
+                return settle(d.reshape(Lw, E, He // 8, 8, gd)
+                              .transpose(0, 1, 3, 2, 4))
 
-            # mutate in place so the ORIGINAL stack's last reference dies
-            # before the next permute runs: peak device transient = ONE
-            # matrix stack, not three (the 4-expert proxy's w1+w3 alone are
-            # ~7.5 GB — holding originals + copies would OOM a v5e)
-            d1, layers.w1 = layers.w1.data, None
-            w1pe = planes_e(d1)
-            jax.block_until_ready(w1pe)
-            d1 = None
-            d3, layers.w3 = layers.w3.data, None
-            w3pe = planes_e(d3)
-            jax.block_until_ready(w3pe)
-            d3 = None
-            layers = dataclasses.replace(layers, w1pe=w1pe, w3pe=w3pe,
-                                         wqkv=wqkv)
+            layers = dataclasses.replace(
+                layers, w1pe=planes_e(take("w1")),
+                w3pe=planes_e(take("w3")), wqkv=wqkv)
         else:
             layers = dataclasses.replace(layers, wqkv=wqkv)
         return Weights(embed=w.embed, layers=layers,
                        final_norm=w.final_norm, output=w.output)
-    L, H, gd = w.layers.w1.data.shape
-    # the fused layouts duplicate w1/w3/w2/wqkv in HBM (the originals stay
-    # for prefill's fused-XLA path and tp sharding) — tier down when the
-    # copies would crowd the chip. ``reserve_bytes`` is the caller's KV
-    # cache + activation budget (the Engine passes its actual cache size:
-    # 13B gf4 takes FULL fusion with fp8 KV but only qkv fusion with the
-    # 3.3 GiB bf16 MHA cache)
-    from calm_tpu.chip import tuning
-    HBM_BUDGET = tuning().hbm_budget  # per-chip usable HBM, minus slack
-    model_bytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
-                      for t in (w.layers.w1.data, w.layers.w2.data,
-                                w.layers.w3.data, w.layers.wq.data,
-                                w.layers.wk.data, w.layers.wv.data,
-                                w.layers.wo.data, w.embed.data))
-    extra = sum(int(np.prod(t.shape)) * t.dtype.itemsize
-                for t in (w.layers.w1.data, w.layers.w3.data,
-                          w.layers.w2.data, w.layers.wq.data,
-                          w.layers.wk.data, w.layers.wv.data))
-    qkv_bytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
-                    for t in (w.layers.wq.data, w.layers.wk.data,
-                              w.layers.wv.data))
-    budget = HBM_BUDGET - reserve_bytes
-    wqkv = None
-    if model_bytes + qkv_bytes <= budget:
-        wqkv = jnp.concatenate([jnp.asarray(w.layers.wq.data),
-                                jnp.asarray(w.layers.wk.data),
-                                jnp.asarray(w.layers.wv.data)], axis=1)
-    if model_bytes + extra > budget:
-        # ffn copies don't fit: qkv-only fusion (or none)
-        if wqkv is None:
-            return w
-        return Weights(embed=w.embed,
-                       layers=dataclasses.replace(w.layers, wqkv=wqkv),
-                       final_norm=w.final_norm, output=w.output)
+
+    L, H, gd = layers.w1.data.shape
+    D = 8 * gd
 
     def planes(d):
-        return jnp.asarray(d).reshape(L, H // 8, 8, gd).transpose(0, 2, 1, 3)
+        return settle(d.reshape(L, H // 8, 8, gd).transpose(0, 2, 1, 3))
 
-    # offn tier: ALSO plane-permute the residual stream's epilogue weights
-    # so decode runs wo + residual + ffn-norm + FFN as one kernel
-    # (pallas_qmm.gf4_offn). Costs one extra copy of wo; requires the fused
-    # wqkv (the permuted stream feeds it pre-planed) and a post-attn norm
+    w1p = planes(take("w1"))
+    w3p = planes(take("w3"))
+    w2t = settle(take("w2").transpose(0, 2, 1))  # (L, H/8, D)
+
+    # offn tier: ALSO plane-permute the epilogue weights so decode runs
+    # wo + residual + ffn-norm + FFN as one kernel on a plane-permuted
+    # residual stream (pallas_qmm.gf4_offn). Requires a post-attn norm
     # (norm_par reuses the attn-normed input — epilogue shape differs).
-    D = 8 * gd
-    Q = w.layers.wo.data.shape[2] * 8  # wo: (L, D, Q/8) packed
-    wo_bytes = int(np.prod(w.layers.wo.data.shape)) * 4
-    offn = (not cfg.norm_par and wqkv is not None and Q % 8 == 0
-            and model_bytes + extra + qkv_bytes + wo_bytes <= budget)
-    if offn:
-        wo_p = (jnp.asarray(w.layers.wo.data)
-                .reshape(L, gd, 8, Q // 8).transpose(0, 2, 1, 3))
-        w2t = jnp.asarray(w.layers.w2.data).transpose(0, 2, 1)  # (L, H/8, D)
-        w2tp = (w2t.reshape(L, H // 8, gd, 8).transpose(0, 1, 3, 2)
-                .reshape(L, H // 8, D))
-        an_pl = (jnp.asarray(w.layers.attn_norm)
+    if not cfg.norm_par:
+        wo_p = settle(take("wo").reshape(L, gd, 8, -1).transpose(0, 2, 1, 3))
+        w2tp = settle(w2t.reshape(L, H // 8, gd, 8).transpose(0, 1, 3, 2)
+                      .reshape(L, H // 8, D))
+        w2t = None
+        an_pl = (jnp.asarray(layers.attn_norm)
                  .reshape(L, gd, 8).transpose(0, 2, 1).reshape(L, D))
-        fn_pl = (jnp.asarray(w.layers.ffn_norm)
+        fn_pl = (jnp.asarray(layers.ffn_norm)
                  .reshape(L, gd, 8).transpose(0, 2, 1))
         layers = dataclasses.replace(
-            w.layers, w1p=planes(w.layers.w1.data),
-            w3p=planes(w.layers.w3.data),
-            wqkv=wqkv, wo_p=wo_p, w2tp=w2tp, an_pl=an_pl, fn_pl=fn_pl)
+            layers, w1p=w1p, w3p=w3p, wqkv=wqkv,
+            wo_p=wo_p, w2tp=w2tp, an_pl=an_pl, fn_pl=fn_pl)
     else:
-        layers = dataclasses.replace(
-            w.layers, w1p=planes(w.layers.w1.data),
-            w3p=planes(w.layers.w3.data),
-            w2t=jnp.asarray(w.layers.w2.data).transpose(0, 2, 1),
-            wqkv=wqkv)
+        layers = dataclasses.replace(layers, w1p=w1p, w3p=w3p, w2t=w2t,
+                                     wqkv=wqkv)
     return Weights(embed=w.embed, layers=layers, final_norm=w.final_norm,
                    output=w.output)
 
@@ -798,8 +765,10 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
     else:
         B, T, D = x.shape
     hd = cfg.head_dim
-    q_local = lw.wq.shape[1]   # q_dim / tp  (stacked: (L, d, n))
-    kv_local = lw.wk.shape[1]  # kv_dim / tp
+    # local (per-tp-shard) projection widths from the always-present bias
+    # rows — the weights themselves may live only in fused layouts
+    q_local = lw.bq.shape[1]   # q_dim / tp
+    kv_local = lw.bk.shape[1]  # kv_dim / tp
     H, KVH = q_local // hd, kv_local // hd
 
     def row(a):  # per-layer slice of a small stacked tensor (XLA fuses it)
@@ -825,6 +794,12 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
             qkv = pallas_qmm.qmm_decode(
                 xb.reshape(B * T, D).astype(jnp.float32), lw.wqkv, "gf4",
                 layer, stage="wqkv").reshape(B, T, q_local + 2 * kv_local)
+    if qkv is None and lw.wq is None:
+        # naturals dropped at fusion: the row-concat wqkv IS the weight
+        # (qmatmul dispatches Pallas or the fused-XLA dequant dot)
+        from calm_tpu.ops.qmm import QTensor
+        qkv = qmatmul(xb, QTensor(lw.wqkv, "gf4"), layer=layer,
+                      stage="wqkv")
     if qkv is not None:
         q = qkv[..., :q_local] + row(lw.bq)
         k = qkv[..., q_local:q_local + kv_local] + row(lw.bk)
@@ -971,7 +946,14 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         return x, kc, vc, ((kh[0, :, :, 0, :], vh[0, :, :, 0, :])
                            if defer else None)
 
-    x = x + _close_residual(qmatmul(att, lw.wo, layer=layer, stage="wo"), plan)
+    if lw.wo is not None:
+        wo_out = qmatmul(att, lw.wo, layer=layer, stage="wo")
+    else:
+        # natural wo dropped at fusion (offn tier): consume the plane-
+        # major-output layout and un-permute the (small) activation
+        from calm_tpu.ops.qmm import qmatmul_wo_p
+        wo_out = qmatmul_wo_p(att, lw.wo_p, layer)
+    x = x + _close_residual(wo_out, plan)
 
     # parallel-norm architectures (Cohere) feed the ffn from the attn-normed
     # input instead of re-normalizing (reference: src/infer.c:417-420)
@@ -988,7 +970,16 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
                 ffn = pallas_qmm.gf4_ffn(
                     xb2.reshape(B * T, D).astype(jnp.float32), lw.w1p,
                     lw.w3p, lw.w2t, layer, cfg.act_gelu).reshape(B, T, D)
-        if ffn is None:
+        if ffn is None and lw.w1 is None:
+            # naturals dropped at fusion: matmul in plane-permuted row
+            # order (elementwise act glue is order-agnostic), contract the
+            # permuted order against the word-transposed w2 directly
+            from calm_tpu.ops.qmm import qmatmul_w1p, qmatmul_w2t
+            h = (_act(cfg, qmatmul_w1p(xb2, lw.w1p, layer))
+                 * qmatmul_w1p(xb2, lw.w3p, layer))
+            ffn = qmatmul_w2t(h, lw.w2t if lw.w2t is not None else lw.w2tp,
+                              layer, permuted_out=lw.w2t is None)
+        elif ffn is None:
             h = (_act(cfg, qmatmul(xb2, lw.w1, layer=layer, stage="ffn"))
                  * qmatmul(xb2, lw.w3, layer=layer, stage="ffn"))
             ffn = qmatmul(h, lw.w2, layer=layer, stage="ffn")
@@ -1030,7 +1021,7 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
     if (T == 1 and lw.wo_p is not None and pallas_decode_enabled()
             and plan.tp is None and plan.sp is None and plan.ep is None):
         from calm_tpu.ops import pallas_qmm
-        q_local = lw.wq.shape[1]
+        q_local = lw.bq.shape[1]
         planed = (pallas_qmm.supported((B, D), lw.wqkv, "gf4")
                   and pallas_qmm.gf4_offn_supported(
                       (B, 8, q_local // 8), (B, 8, D // 8),

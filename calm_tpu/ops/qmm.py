@@ -205,6 +205,69 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32,
     return out if scale is None else out * scale.astype(out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# fused-layout (plane-major) consumption: the XLA paths for weights stored
+# ONLY in the gf4 decode layouts (model.fuse_gf4_weights drops the natural
+# originals — same bytes, no HBM duplicate). Prefill, CPU, and any
+# shape the Pallas kernels decline route through these.
+# ---------------------------------------------------------------------------
+
+
+def _unpermute_last(x: jax.Array) -> jax.Array:
+    """Undo the plane permutation of the last axis: perm[k*(N/8)+c] =
+    nat[8c+k] -> natural order."""
+    lead, n = x.shape[:-1], x.shape[-1]
+    return (x.reshape(*lead, 8, n // 8).swapaxes(-1, -2)
+            .reshape(*lead, n))
+
+
+def qmatmul_w1p(x: jax.Array, words: jax.Array, layer,
+                stage: str = "ffn") -> jax.Array:
+    """x (..., D) @ plane-major w1p/w3p words (L, 8, H/8, D/8) -> h
+    (..., H) in PERMUTED k-major order (h[k*(H/8)+c] = h_nat[8c+k]).
+    The flattened plane-major stack is a valid row-major gf4 matrix whose
+    rows are the natural rows shuffled — qmatmul (and through it the
+    Pallas matvec, when shapes allow) applies unchanged; elementwise FFN
+    glue is order-agnostic and qmatmul_w2t contracts the permuted order
+    directly."""
+    L, _, Hp, gd = words.shape
+    return qmatmul(x, QTensor(words.reshape(L, 8 * Hp, gd), "gf4"),
+                   layer=layer, stage=stage)
+
+
+def qmatmul_w2t(h_perm: jax.Array, words: jax.Array, layer,
+                permuted_out: bool, stage: str = "ffn") -> jax.Array:
+    """h_perm (..., H) k-major @ word-transposed w2t/w2tp (L, H/8, D)
+    -> (..., D) natural.
+
+    Each int32 word at [c, d] packs the 8 h-planes of column 8c+k for
+    output d, so the contraction pairs h's (k, c) axes with the decoded
+    words' (c, k): ffn[d] = sum_{k,c} h[k,c] * w2[d, 8c+k].
+    ``permuted_out`` (the w2tp layout) additionally un-permutes the
+    plane-major output columns back to natural order."""
+    L, Hp, Dn = words.shape
+    wsel = jax.lax.dynamic_index_in_dim(words, layer, 0, keepdims=False)
+    dt = jnp.float32 if (_PRECISE or not _USE_PALLAS) else jnp.bfloat16
+    dec = gf4_decode_words(wsel, dt).reshape(Hp, Dn, 8)
+    lead = h_perm.shape[:-1]
+    hp = h_perm.reshape(*lead, 8, Hp).astype(dt)
+    out = jnp.einsum("...kc,cdk->...d", hp, dec,
+                     preferred_element_type=jnp.float32)
+    return _unpermute_last(out) if permuted_out else out
+
+
+def qmatmul_wo_p(att: jax.Array, words: jax.Array, layer,
+                 stage: str = "wo") -> jax.Array:
+    """att (..., Q) @ plane-major-OUTPUT wo_p words (L, 8, D/8, Q/8) ->
+    (..., D) natural. Flattening the (8, D/8) plane axes gives a row-major
+    gf4 matrix with rows in permuted order (row k*(D/8)+c = natural output
+    8c+k, input packing untouched); un-permute after the matvec."""
+    L, _, gd, Qp = words.shape
+    flat = words.reshape(L, 8 * gd, Qp)
+    return _unpermute_last(
+        qmatmul(att, QTensor(flat, "gf4"), layer=layer, stage=stage))
+
+
 def embed_lookup(tokens: jax.Array, qt: QTensor, dtype=jnp.float32) -> jax.Array:
     """Gather + dequantize embedding rows (reads only the needed rows)."""
     rows = qt.data[tokens]  # gather packed rows

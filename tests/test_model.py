@@ -165,11 +165,13 @@ def test_logits_hash():
     assert h != M.logits_hash(x + 1)
 
 
-def test_fuse_gf4_budget_tiers(tmp_path):
-    """fuse_gf4_weights tiers by the caller's reserve: full fusion when the
-    copies + reserve fit, qkv-only when only the ffn copies don't, none
-    when even wqkv won't fit."""
+def test_fuse_gf4_zero_copy(tmp_path):
+    """fuse_gf4_weights REPLACES the naturals with pure permutations: all
+    fused layouts present, originals dropped (no weight stored twice), and
+    decode + prefill through the XLA consumption paths (ops/qmm.py
+    qmatmul_w1p/_w2t/_wo_p) match the unfused reference."""
     import jax.numpy as jnp
+    import numpy as np
 
     from calm_tpu import container
     from calm_tpu import model as M
@@ -178,34 +180,71 @@ def test_fuse_gf4_budget_tiers(tmp_path):
     cfg = tiny_config(dtype="gf4")
     path = str(tmp_path / "m.calm")
     write_tiny_model(path, cfg)
-    w = M.load_weights(container.TensorFile(path), cfg)
+    tf = container.TensorFile(path)
+    w_ref = M.load_weights(tf, cfg)                 # stays unfused
+    fused = M.fuse_gf4_weights(M.load_weights(tf, cfg), cfg)
 
-    full = M.fuse_gf4_weights(w, cfg, reserve_bytes=0)
-    assert full.layers.w1p is not None and full.layers.wqkv is not None
+    lw = fused.layers
+    assert lw.wqkv is not None and lw.w1p is not None and lw.w3p is not None
+    # default (non-norm_par) config takes the offn tier
+    assert lw.wo_p is not None and lw.w2tp is not None and lw.w2t is None
+    for f in ("w1", "w2", "w3", "wq", "wk", "wv", "wo"):
+        assert getattr(lw, f) is None, f"{f} natural should be dropped"
 
-    big = 14_500_000_000  # the whole budget: nothing fits
-    none = M.fuse_gf4_weights(w, cfg, reserve_bytes=big)
-    assert none.layers.w1p is None and none.layers.wqkv is None
-
-    # reserve sized so wqkv fits but the ffn copies do not
-    import numpy as np
-    model_bytes = sum(
-        int(np.prod(t.shape)) * t.dtype.itemsize
-        for t in (w.layers.w1.data, w.layers.w2.data, w.layers.w3.data,
-                  w.layers.wq.data, w.layers.wk.data, w.layers.wv.data,
-                  w.layers.wo.data, w.embed.data))
-    qkv_bytes = sum(int(np.prod(t.shape)) * t.dtype.itemsize
-                    for t in (w.layers.wq.data, w.layers.wk.data,
-                              w.layers.wv.data))
-    mid = big - model_bytes - qkv_bytes - 1
-    partial = M.fuse_gf4_weights(w, cfg, reserve_bytes=mid)
-    assert partial.layers.wqkv is not None and partial.layers.w1p is None
-
-    # fused weights still decode identically (pallas off: fused unused,
-    # same numerics; the pallas path is covered in test_pallas_qmm)
+    # decode parity (CPU XLA consumption path; reduction order differs
+    # from the natural layout so exact equality is not expected)
     cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
-    want, _ = M.decode_step_fn(cfg, w, jnp.array([3]), jnp.array([0]), cache)
+    want, _ = M.decode_step_fn(cfg, w_ref, jnp.array([3]), jnp.array([0]),
+                               cache)
     cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
-    got, _ = M.decode_step_fn(cfg, full, jnp.array([3]), jnp.array([0]),
+    got, _ = M.decode_step_fn(cfg, fused, jnp.array([3]), jnp.array([0]),
                               cache)
-    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    # prefill parity: logits and the written cache rows
+    toks = jnp.asarray([[3, 7, 1, 9]], jnp.int32)
+    pos0 = jnp.zeros((1,), jnp.int32)
+    cache_a = M.KVCache.create(cfg, 1, jnp.bfloat16)
+    la, ca = M.prefill(cfg, w_ref, toks, pos0, cache_a)
+    cache_b = M.KVCache.create(cfg, 1, jnp.bfloat16)
+    lb, cb = M.prefill(cfg, fused, toks, pos0, cache_b)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(cb.k, np.float32), np.asarray(ca.k, np.float32),
+        rtol=2e-2, atol=2e-2)  # bf16 cache rows
+
+
+def test_fuse_gf4_norm_par_tier(tmp_path):
+    """norm_par (Cohere-style) models skip the offn epilogue (the fused
+    epilogue needs a post-attn norm) but still drop every natural: wo
+    stays (it was never permuted), w2t replaces w2."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from calm_tpu import container
+    from calm_tpu import model as M
+    from tests.modelgen import tiny_config, write_tiny_model
+
+    cfg = tiny_config(dtype="gf4", norm_par=True)
+    path = str(tmp_path / "m.calm")
+    write_tiny_model(path, cfg)
+    tf = container.TensorFile(path)
+    w_ref = M.load_weights(tf, cfg)
+    fused = M.fuse_gf4_weights(M.load_weights(tf, cfg), cfg)
+
+    lw = fused.layers
+    assert lw.w2t is not None and lw.wo_p is None and lw.w2tp is None
+    assert lw.wo is not None  # natural wo kept: no permuted copy exists
+    for f in ("w1", "w2", "w3", "wq", "wk", "wv"):
+        assert getattr(lw, f) is None
+
+    cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+    want, _ = M.decode_step_fn(cfg, w_ref, jnp.array([3]), jnp.array([0]),
+                               cache)
+    cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+    got, _ = M.decode_step_fn(cfg, fused, jnp.array([3]), jnp.array([0]),
+                              cache)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

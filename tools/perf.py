@@ -62,11 +62,7 @@ def main(argv=None):
         w = M.load_weights(tf, cfg)
     else:
         ap.error("need a checkpoint or --synthetic <shape>")
-    kv_dtype_pre = "fp8" if cfg.seq_len > 4096 else "bf16"
-    kv_item = 1 if kv_dtype_pre == "fp8" else 2
-    reserve = (2 * cfg.n_layers * cfg.kv_dim * cfg.seq_len * args.batch
-               * kv_item + 1_000_000_000)
-    w = M.fuse_gf4_weights(w, cfg, reserve_bytes=reserve)
+    w = M.fuse_gf4_weights(w, cfg)
 
     kv_dtype = jnp.float8_e5m2 if cfg.seq_len > 4096 else jnp.bfloat16
     kv_bits = 8 if kv_dtype == jnp.float8_e5m2 else 16
