@@ -224,6 +224,56 @@ def test_multihost_dp_serving(model_path):
         assert req.text == text, (prompt, req.text, text)
 
 
+def test_multihost_dp_paged_serving(model_path):
+    """TWO jax.distributed processes serve in dp-PAGED mode: no mesh — each
+    process runs one independent PagedDecoder per local device over its own
+    slot range (prefix caches per decoder). Outputs match the
+    single-process paged server."""
+    import ast
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(__import__("os").environ)
+    env["PYTHONPATH"] = "/root/repo"
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    workers = [
+        subprocess.Popen(
+            [sys.executable, "tests/multihost_serve_worker.py",
+             str(pid), "2", str(port), model_path, "paged"],
+            cwd="/root/repo", env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for w in workers:
+        out, err = w.communicate(timeout=600)
+        assert w.returncode == 0, err[-3000:]
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT\t"):
+                _, pid, prompt, text = line.split("\t")
+                results[prompt] = ast.literal_eval(text)
+    assert set(results) == {"hello world", "pack my box",
+                            "the quick brown"}
+
+    plain = Server(model_path, batch=1, kv_dtype="fp16",
+                   page_rows=16, pool_pages=8)
+    for prompt, text in results.items():
+        req = plain.submit(prompt, max_tokens=8, temperature=0.0)
+        plain.run_until_drained(max_ticks=40)
+        assert req.done
+        assert req.text == text, (prompt, req.text, text)
+
+
 def test_paged_server_parity(model_path):
     """Server(page_rows=...) decodes over the shared page pool and matches
     the dense server text-for-text; a pool smaller than batch x seq_len
