@@ -797,3 +797,52 @@ def test_http_hardening(model_path):
     finally:
         httpd.shutdown()
         httpd.scheduler.stop()
+
+
+def test_paged_pool_invariants_soak(model_path):
+    """Property soak of the paged pool under random admission, prefix
+    hits, rolling-window CoW, LRU eviction, and pool pressure: after every
+    tick, every pool page is exactly one of {free, slot-owned-exclusive,
+    reference-counted (shared mapping / cache pin)}; refcounts never go
+    negative; no page leaks or double-ownership."""
+    import random
+
+    rnd = random.Random(7)
+    srv = Server(model_path, batch=3, kv_dtype="fp16", page_rows=8,
+                 pool_pages=20, prefix_cache_tokens=120)
+    dec = srv._paged
+
+    def check():
+        n = len(dec.page_refs)
+        free = dec.free_pages
+        assert len(set(free)) == len(free), "free list duplicate"
+        assert all(0 <= p < n for p in free)
+        assert all(dec.page_refs[p] == 0 for p in free), "free page ref'd"
+        assert (dec.page_refs >= 0).all(), "negative refcount"
+        owned = []
+        for s in dec.slots:
+            for j, p in enumerate(s.pages):
+                assert p != dec.parking, "parking page mapped"
+                assert p not in free, "page both mapped and free"
+                if j in s.shared:
+                    assert dec.page_refs[p] >= 1, "shared mapping unref'd"
+                else:
+                    owned.append(p)
+        assert len(set(owned)) == len(owned), "exclusive page double-owned"
+        refd = {p for p in range(n) if dec.page_refs[p] > 0}
+        assert not (set(owned) & refd), "owned page still ref'd"
+        assert set(free) | set(owned) | refd == set(range(n)), "page leaked"
+
+    prefixes = ["abcd efgh ijkl ", "wxyz stuv qrst ", "mmmm nnnn "]
+    live = []
+    for i in range(40):
+        p = rnd.choice(prefixes) * rnd.randint(1, 3) + f"x{i}"
+        live.append(srv.submit(p, max_tokens=rnd.randint(1, 30),
+                               temperature=0.0))
+        for _ in range(rnd.randint(1, 6)):
+            srv.tick()
+            check()
+    srv.run_until_drained(max_ticks=500)
+    check()
+    assert all(r.done for r in live)
+    assert dec.pages_in_use() == 0  # slots drained; only cache pins remain
