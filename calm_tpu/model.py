@@ -291,7 +291,8 @@ def _is_desc(x):
 
 
 def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
-                     reserve_bytes: int = 0) -> Weights:
+                     reserve_bytes: int = 0,
+                     epilogue: bool = True) -> Weights:
     """Re-lay-out gf4 weights into the plane-major decode layouts IN PLACE
     of the naturals — the TPU analogue of the Metal backend's load-time
     weight massage (src/infer.m:134-164) taken to its conclusion: every
@@ -308,7 +309,16 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
     TAKES OWNERSHIP of ``w``: the input pytree is mutated (originals become
     None as their re-laid-out buffers land). Don't reuse the argument after
     calling; use the return value. No-op for non-gf4 or already-fused
-    weights."""
+    weights.
+
+    ``epilogue=False`` skips the offn (plane-permuted-stream) tier and
+    keeps natural wo + w2t: the fused epilogue folds the residual close
+    into one kernel, which is wrong under tp (the wo partial needs a psum
+    first) — the per-shard fusion (parallel/sharding.py) passes False.
+
+    Also runs as a TRACED function (inside shard_map for per-shard fusion
+    of tp/ep-sharded weights): all layout ops are jnp, and the transient-
+    management block_until_ready is skipped on tracers."""
     del reserve_bytes
     if (cfg.dtype != "gf4" or w.layers.w1p is not None
             or w.layers.w1pe is not None
@@ -322,7 +332,8 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
         return d
 
     def settle(x):
-        jax.block_until_ready(x)
+        if not isinstance(x, jax.core.Tracer):
+            jax.block_until_ready(x)
         return x
 
     # qkv row-concat: one kernel call instead of three. The concat is the
@@ -365,7 +376,7 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
     # wo + residual + ffn-norm + FFN as one kernel on a plane-permuted
     # residual stream (pallas_qmm.gf4_offn). Requires a post-attn norm
     # (norm_par reuses the attn-normed input — epilogue shape differs).
-    if not cfg.norm_par:
+    if not cfg.norm_par and epilogue:
         wo_p = settle(take("wo").reshape(L, gd, 8, -1).transpose(0, 2, 1, 3))
         w2tp = settle(w2t.reshape(L, H // 8, gd, 8).transpose(0, 1, 3, 2)
                       .reshape(L, H // 8, D))

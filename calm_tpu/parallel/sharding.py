@@ -31,10 +31,19 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
-def weight_pspecs(cfg: ModelConfig, plan: ShardingPlan) -> Weights:
+def weight_pspecs(cfg: ModelConfig, plan: ShardingPlan,
+                  fused: bool = False) -> Weights:
     """A Weights-shaped pytree whose leaves are PartitionSpecs. Every
     LayerWeights leaf is layer-stacked on dim 0, which shards over pp
-    (pipeline stages); embed/final_norm/output stay replicated across pp."""
+    (pipeline stages); embed/final_norm/output stay replicated across pp.
+
+    ``fused=True``: specs for a fuse_weights_sharded pytree — the gf4
+    plane-major layouts replace the naturals. Their tp axes follow the
+    per-shard construction: wqkv rows and w1p/w3p plane-columns shard over
+    tp (each shard's fused block is the permutation of ITS natural shard —
+    the global row order differs from an unsharded fuse, which is fine:
+    tp only needs w1-rows and w2-columns partitioned identically, and both
+    derive from the same local shard)."""
     tp, ep, pp = plan.tp, plan.ep, plan.pp
     fmt = cfg.dtype
 
@@ -43,6 +52,7 @@ def weight_pspecs(cfg: ModelConfig, plan: ShardingPlan) -> Weights:
         # (a scalar per tensor shards with nothing but the stack axes)
         return QTensor(spec, fmt, sspec if fmt == "fp8e4" else None)
 
+    gf4_fused = (fused and fmt == "gf4" and cfg.hidden_dim % 8 == 0)
     if cfg.n_experts:
         w13 = qt(P(pp, ep, tp, None), P(pp, ep, None))
         w2 = qt(P(pp, ep, None, tp), P(pp, ep, None))
@@ -52,6 +62,24 @@ def weight_pspecs(cfg: ModelConfig, plan: ShardingPlan) -> Weights:
         w2 = qt(P(pp, None, tp), P(pp, None))
         moegate = None
 
+    fused_fields = {}
+    if gf4_fused:
+        fused_fields["wqkv"] = P(pp, tp, None)
+        if cfg.n_experts:
+            # (L, E, 8, He/8, gd): experts over ep, plane-columns over tp
+            fused_fields.update(w1pe=P(pp, ep, None, tp, None),
+                                w3pe=P(pp, ep, None, tp, None),
+                                w1=None, w3=None)
+        else:
+            # (L, 8, H/8, gd) / (L, H/8, D): plane-columns over tp
+            fused_fields.update(w1p=P(pp, None, tp, None),
+                                w3p=P(pp, None, tp, None),
+                                w2t=P(pp, tp, None),
+                                w1=None, w2=None, w3=None)
+        fused_fields.update(wq=None, wk=None, wv=None)
+    # non-gf4 (or H % 8 != 0) fused=True: fuse_gf4_weights is a no-op, the
+    # natural specs stand
+
     layers = LayerWeights(
         attn_norm=P(pp, None), ffn_norm=P(pp, None),
         wq=qt(P(pp, tp, None), P(pp, None)), wk=qt(P(pp, tp, None), P(pp, None)),
@@ -60,6 +88,9 @@ def weight_pspecs(cfg: ModelConfig, plan: ShardingPlan) -> Weights:
         w1=w13, w2=w2, w3=w13, moegate=moegate,
         q_norm=P(pp, tp) if cfg.norm_qk else None,
         k_norm=P(pp, tp) if cfg.norm_qk else None)
+    if fused_fields:
+        import dataclasses
+        layers = dataclasses.replace(layers, **fused_fields)
 
     return Weights(embed=qt(P(tp, None), P(None)), layers=layers,
                    final_norm=P(None), output=qt(P(tp, None), P(None)))
@@ -134,11 +165,45 @@ def shard_cache(cache: KVCache, mesh: Mesh, plan: ShardingPlan) -> KVCache:
     return jax.device_put(cache, _tree_shardings(mesh, cache_pspecs(plan)))
 
 
-def sharded_decode_step(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
+def fuse_weights_sharded(w: Weights, cfg: ModelConfig, mesh: Mesh,
+                         plan: ShardingPlan) -> tuple[Weights, bool]:
+    """Per-shard gf4 layout fusion on an ALREADY-SHARDED pytree: run
+    model.fuse_gf4_weights inside shard_map so each tp/ep shard permutes
+    ITS OWN natural block into the fused decode layouts (zero-copy, same
+    as single-device — the naturals are dropped). Correct because tp only
+    requires w1-rows and w2-columns to be partitioned identically, and
+    both fused blocks derive from the same local shard.
+
+    The offn epilogue tier is disabled (epilogue=False): it folds the
+    residual close into the kernel, which is wrong under tp (the wo
+    partial needs its psum first) — sharded decode keeps natural wo and
+    uses the fused qkv + fused FFN kernels per shard.
+
+    Returns (weights, fused): fused=False (input unchanged) when the
+    format or the PER-SHARD hidden width doesn't allow plane layouts.
+    Pass ``fused`` to the step builders so their specs match."""
+    from calm_tpu import model as M
+
+    ntp = mesh.shape.get(plan.tp, 1) if plan.tp else 1
+    if (cfg.dtype != "gf4" or cfg.hidden_dim % (8 * ntp)
+            or w.layers.wqkv is not None):
+        return w, False
+
+    in_specs = weight_pspecs(cfg, plan)
+    out_specs = weight_pspecs(cfg, plan, fused=True)
+    fn = shard_map(
+        lambda wl: M.fuse_gf4_weights(wl, cfg, epilogue=False),
+        mesh=mesh, in_specs=(in_specs,), out_specs=out_specs,
+        check_vma=False)
+    return jax.jit(fn, donate_argnums=(0,))(w), True
+
+
+def sharded_decode_step(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
+                        fused: bool = False):
     """Build the jitted multi-chip decode step: (w, token, pos, cache) ->
     (logits (B, V), cache). Under dp, token/pos/cache/logits are
     batch-sharded (the layer is batch-local: dp adds zero collectives)."""
-    wspecs = weight_pspecs(cfg, plan)
+    wspecs = weight_pspecs(cfg, plan, fused=fused)
     if plan.sp is not None:
         # sequence-parallel decode: cache rows stay S-sharded (as the sp
         # prefill leaves them); attention merges partial softmax over sp
@@ -156,13 +221,13 @@ def sharded_decode_step(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
 
 
 def sharded_decode_scan(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
-                        n_steps: int):
+                        n_steps: int, fused: bool = False):
     """Build the jitted multi-chip greedy decode scan: (w, token, pos0,
     cache) -> (tokens (B, n_steps), cache, last logits). One device program
     produces n_steps tokens on the whole mesh — no host round trips between
     tokens (the sharded counterpart of model.decode_scan)."""
     from calm_tpu.model import decode_scan_fn
-    wspecs = weight_pspecs(cfg, plan)
+    wspecs = weight_pspecs(cfg, plan, fused=fused)
     if plan.sp is not None:
         assert plan.sp != plan.dp, "sp decode needs its own mesh axis"
         cspecs = cache_pspecs(plan, sp=True)
@@ -179,13 +244,14 @@ def sharded_decode_scan(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
     return jax.jit(fn, donate_argnums=(3,))
 
 
-def sharded_prefill_slot(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
+def sharded_prefill_slot(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
+                         fused: bool = False):
     """Build the jitted single-slot prefill for continuous batching on a
     sharded model: (w, tokens (1, T), n_valid, slot, cache) ->
     (last-token logits (V,), cache). ``slot`` addresses the GLOBAL batch;
     under dp every shard runs the same SPMD admission and only the owning
     shard's cache write survives (model.prefill_slot_fn)."""
-    wspecs = weight_pspecs(cfg, plan)
+    wspecs = weight_pspecs(cfg, plan, fused=fused)
     cspecs = cache_pspecs(plan)
     rep = P()
 
@@ -195,13 +261,14 @@ def sharded_prefill_slot(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
     return jax.jit(fn, donate_argnums=(4,))
 
 
-def sharded_prefill_sp(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
+def sharded_prefill_sp(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
+                       fused: bool = False):
     """Build the jitted sequence-parallel full-window prefill:
     (w, tokens (B, T==seq_len), cache) -> (logits (B, T, V), cache).
     Prompt chunks shard over plan.sp; fresh K/V all-gather inside each layer
     (model.prefill_sp_fn); cache rows come back S-sharded over sp."""
     assert plan.sp is not None
-    wspecs = weight_pspecs(cfg, plan)
+    wspecs = weight_pspecs(cfg, plan, fused=fused)
     cspecs = cache_pspecs(plan, sp=True)
 
     fn = shard_map(partial(prefill_sp_fn, cfg, plan=plan), mesh=mesh,
@@ -212,9 +279,9 @@ def sharded_prefill_sp(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan):
 
 
 def sharded_prefill(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
-                    logits_mode: str = "last"):
+                    logits_mode: str = "last", fused: bool = False):
     """Build the jitted multi-chip prefill: (w, tokens, pos0, cache)."""
-    wspecs = weight_pspecs(cfg, plan)
+    wspecs = weight_pspecs(cfg, plan, fused=fused)
     cspecs = cache_pspecs(plan)
     batch = P(plan.dp)
     if logits_mode == "last":

@@ -204,7 +204,8 @@ class Server:
         self._pid = jax.process_index()
         self._nproc = jax.process_count()
         if self._sharded:
-            from calm_tpu.parallel.sharding import (load_weights_sharded,
+            from calm_tpu.parallel.sharding import (fuse_weights_sharded,
+                                                    load_weights_sharded,
                                                     shard_cache,
                                                     sharded_decode_step,
                                                     sharded_prefill_slot)
@@ -212,11 +213,16 @@ class Server:
             if plan.dp is not None:
                 assert batch % mesh.shape[plan.dp] == 0, \
                     "batch must divide over dp shards"
-            # shard-aware load: this host materializes only its shards
-            eng.weights = load_weights_sharded(eng.tf, eng.cfg, mesh, plan)
+            # shard-aware load: this host materializes only its shards;
+            # gf4 then gets the per-shard zero-copy layout fusion
+            w = load_weights_sharded(eng.tf, eng.cfg, mesh, plan)
+            eng.weights, fused = fuse_weights_sharded(w, eng.cfg, mesh,
+                                                      plan)
             eng.cache = shard_cache(eng.cache, mesh, plan)
-            self._decode_fn = sharded_decode_step(eng.cfg, mesh, plan)
-            self._prefill_slot_fn = sharded_prefill_slot(eng.cfg, mesh, plan)
+            self._decode_fn = sharded_decode_step(eng.cfg, mesh, plan,
+                                                  fused=fused)
+            self._prefill_slot_fn = sharded_prefill_slot(eng.cfg, mesh,
+                                                         plan, fused=fused)
         # slot ownership: each process admits/samples only its contiguous
         # slot range (all slots on a single process; dp slots split over
         # processes in process order — make_multihost_mesh places dp on DCN)

@@ -551,3 +551,56 @@ def test_pallas_ring_all_reduce_two_devices():
         check_vma=False))(x))
     np.testing.assert_allclose(out[0], x.sum(0), rtol=1e-6)
     np.testing.assert_allclose(out[1], x.sum(0), rtol=1e-6)
+
+
+@pytest.mark.parametrize("moe", [False, True])
+def test_tp2_gf4_fused_sharded(tmp_path, moe):
+    """Per-shard gf4 layout fusion under tp (x ep for MoE): naturals
+    dropped on every shard, decode through the sharded fused layouts
+    matches the single-device unfused reference — on both the XLA
+    consumption path and the Pallas kernels (interpret mode)."""
+    from calm_tpu.ops import pallas_attn, pallas_qmm, qmm
+    from calm_tpu.parallel.sharding import fuse_weights_sharded
+
+    cfg = tiny_config(dtype="gf4", moe=moe)
+    w = build(tmp_path, cfg)
+    want = reference_logits(cfg, w, TOKENS)
+
+    plan = ShardingPlan(tp="tp", ep="ep" if moe else None)
+    mesh = make_mesh(tp=2, ep=2 if moe else 1)
+    ws = shard_weights(w, cfg, mesh, plan)
+    wf, fused = fuse_weights_sharded(ws, cfg, mesh, plan)
+    assert fused
+    lw = wf.layers
+    assert lw.wqkv is not None and lw.wq is None
+    if moe:
+        assert lw.w1pe is not None and lw.w1 is None and lw.w2 is not None
+    else:
+        assert (lw.w1p is not None and lw.w2t is not None
+                and lw.w1 is None and lw.w2 is None)
+        assert lw.wo is not None and lw.wo_p is None  # no epilogue under tp
+
+    def run(step_fused):
+        cache = shard_cache(M.KVCache.create(cfg, 1, jnp.float16), mesh,
+                            plan)
+        step = sharded_decode_step(cfg, mesh, plan, fused=True)
+        out = []
+        for pos, tok in enumerate(TOKENS):
+            logits, cache = step(wf, jnp.array([tok]), jnp.array([pos]),
+                                 cache)
+            out.append(np.asarray(logits[0]))
+        return np.stack(out)
+
+    got = run(True)  # XLA consumption of the per-shard fused layouts
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    qmm.enable_pallas(True)
+    try:
+        pallas_qmm.set_interpret(True)
+        pallas_attn.set_interpret(True)
+        got_k = run(True)  # per-shard fused Pallas kernels
+    finally:
+        qmm.enable_pallas(False)
+        pallas_qmm.set_interpret(False)
+        pallas_attn.set_interpret(False)
+    np.testing.assert_allclose(got_k, want, rtol=5e-2, atol=5e-2)

@@ -846,3 +846,27 @@ def test_paged_pool_invariants_soak(model_path):
     check()
     assert all(r.done for r in live)
     assert dec.pages_in_use() == 0  # slots drained; only cache pins remain
+
+
+def test_sharded_server_gf4_fused(tmp_path):
+    """The sharded server path applies per-shard gf4 fusion: naturals
+    dropped on every shard, outputs match the plain (unsharded) server."""
+    from calm_tpu.parallel import ShardingPlan, make_mesh
+
+    cfg = tiny_config(dtype="gf4", seq_len=64)
+    path = str(tmp_path / "g.calm")
+    write_tiny_model(path, cfg, seed=1)
+
+    plain = Server(path, batch=2)
+    mesh = make_mesh(tp=2)
+    shrd = Server(path, batch=2, mesh=mesh, plan=ShardingPlan(tp="tp"))
+    assert shrd.engine.weights.layers.wq is None          # fused per shard
+    assert shrd.engine.weights.layers.w1p is not None
+    outs = []
+    for srv in (plain, shrd):
+        r1 = srv.submit("hello world", max_tokens=8, temperature=0.0)
+        r2 = srv.submit("the quick", max_tokens=8, temperature=0.0)
+        srv.run_until_drained(max_ticks=40)
+        assert r1.done and r2.done
+        outs.append((r1.text, r2.text))
+    assert outs[0] == outs[1]
