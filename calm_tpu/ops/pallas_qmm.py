@@ -227,6 +227,184 @@ def qmm_decode(x: jax.Array, wdata: jax.Array, fmt: str,
 
 
 # ---------------------------------------------------------------------------
+# gf4 PREFILL matmul: row-blocked plane-dot with decode-once plane scratch
+# ---------------------------------------------------------------------------
+
+
+def _gf4_mm_kernel(lref, xp_ref, w_ref, o_ref, planes_ref):
+    """Many-row gf4 matmul, grid (n_dtiles, n_rowblocks) — d OUTER so each
+    weight tile is DMA'd and VPU-decoded exactly ONCE (into the bf16 plane
+    scratch on the tile's first row-block) and reused by every row block
+    via the MXU plane dots. This is what makes gf4 prefill competitive:
+    the XLA path MATERIALIZES the 8x unpack to HBM per consumer (~4x the
+    f32 weight bytes of extra traffic per chunk), while here the decode
+    stays in VMEM and amortizes over all T rows."""
+    wu = pltpu.bitcast(w_ref[0], jnp.uint32)  # (TD, N/8)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        scale = _gf4_scale(wu)
+        for k in range(8):
+            codes = ((wu >> (8 + 3 * k)) & 7).astype(jnp.int32)
+            planes_ref[k] = ((codes.astype(jnp.float32) - 4.0)
+                             * scale).astype(jnp.bfloat16)
+
+    acc = None
+    for k in range(8):
+        d = jax.lax.dot_general(
+            xp_ref[:, k, :].astype(jnp.bfloat16), planes_ref[k],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    o_ref[:] = acc
+
+
+def mm_supported(x_shape, wdata, fmt: str) -> bool:
+    """Row-blocked gf4 matmul eligibility: prefill-sized row counts (the
+    <=16-row decode path keeps the matvec kernel; 17..31 stays on XLA)."""
+    if fmt != "gf4" or wdata.ndim not in (2, 3):
+        return False
+    rows = 1
+    for s in x_shape[:-1]:
+        rows *= s
+    return rows >= 32 and x_shape[-1] == wdata.shape[-1] * 8
+
+
+@functools.lru_cache(maxsize=None)
+def _qmm_mm_jit(stage: str):
+    """Per-stage jitted row-blocked gf4 matmul (see _qmm_jit for why the
+    NAME carries the stage tag)."""
+    def fn(x, wdata, layer, interpret):
+        R, n = x.shape
+        L, d, np8 = wdata.shape
+        # row block: bounded by the xp block's VMEM footprint (~4 MiB f32)
+        br = min(256, max(32, (4 << 20) // (4 * n) // 8 * 8), R)
+        td = _pick_tile(d, np8 * 4)
+        xp = x.astype(jnp.float32).reshape(R, np8, 8).transpose(0, 2, 1)
+        grid = (pl.cdiv(d, td), pl.cdiv(R, br))  # rows innermost
+        cost = pl.CostEstimate(
+            flops=2 * R * d * n,
+            bytes_accessed=(d * np8 * 4 + 4 * R * n * pl.cdiv(d, td)
+                            + 4 * R * d),
+            transcendentals=0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[
+                pl.BlockSpec((br, 8, np8), lambda j, i, l: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, td, np8), lambda j, i, l: (l[0], j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((br, td), lambda j, i, l: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((8, td, np8), jnp.bfloat16)])
+        return pl.pallas_call(
+            _gf4_mm_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((R, d), jnp.float32),
+            cost_estimate=cost,
+            compiler_params=_vmem_params(),
+            interpret=interpret,
+        )(layer.astype(jnp.int32)[None], xp, wdata)
+
+    fn.__name__ = fn.__qualname__ = (f"_qmm_mm__{stage}" if stage
+                                     else "_qmm_mm")
+    return jax.jit(fn, static_argnames=("interpret",))
+
+
+def qmm_prefill(x: jax.Array, wdata: jax.Array, layer=None,
+                stage: str = "") -> jax.Array:
+    """x (R, n) f32 @ W[layer]^T for packed gf4 stacked W (L, d, n/8)
+    -> (R, d) f32, R >= 32 (prefill / large-batch shapes)."""
+    if wdata.ndim == 2:
+        wdata = wdata[None]
+        layer = jnp.int32(0)
+    return _qmm_mm_jit(stage)(x, wdata, jnp.asarray(layer, jnp.int32),
+                              _INTERPRET)
+
+
+def _gf4_mmt_kernel(lref, hp_ref, w_ref, o_ref, planes_ref):
+    """Word-transposed variant for the fused-FFN w2t/w2tp layout
+    (L, H/8, D): each word at [c, d] packs the 8 h-planes of column 8c+k,
+    so decoded plane k is (H/8, D) and the dot contracts h's plane slice
+    against its LEADING axis. Same decode-once plane scratch as
+    _gf4_mm_kernel."""
+    wu = pltpu.bitcast(w_ref[0], jnp.uint32)  # (HP, TD)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        scale = _gf4_scale(wu)
+        for k in range(8):
+            codes = ((wu >> (8 + 3 * k)) & 7).astype(jnp.int32)
+            planes_ref[k] = ((codes.astype(jnp.float32) - 4.0)
+                             * scale).astype(jnp.bfloat16)
+
+    acc = None
+    for k in range(8):
+        d = jax.lax.dot_general(
+            hp_ref[:, k, :].astype(jnp.bfloat16), planes_ref[k],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    o_ref[:] = acc
+
+
+@functools.lru_cache(maxsize=None)
+def _qmm_mmt_jit(stage: str):
+    def fn(h_perm, words, layer, interpret):
+        R, n = h_perm.shape          # n == H (k-major permuted order)
+        L, Hp, D = words.shape
+        br = min(256, max(32, (4 << 20) // (4 * n) // 8 * 8), R)
+        td = _pick_tile(D, Hp * 4)
+        hp = h_perm.astype(jnp.float32).reshape(R, 8, Hp)
+        grid = (pl.cdiv(D, td), pl.cdiv(R, br))
+        cost = pl.CostEstimate(
+            flops=2 * R * D * n,
+            bytes_accessed=(Hp * D * 4 + 4 * R * n * pl.cdiv(D, td)
+                            + 4 * R * D),
+            transcendentals=0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=[
+                pl.BlockSpec((br, 8, Hp), lambda j, i, l: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hp, td), lambda j, i, l: (l[0], 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((br, td), lambda j, i, l: (i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((8, Hp, td), jnp.bfloat16)])
+        return pl.pallas_call(
+            _gf4_mmt_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((R, D), jnp.float32),
+            cost_estimate=cost,
+            compiler_params=_vmem_params(),
+            interpret=interpret,
+        )(layer.astype(jnp.int32)[None], hp, words)
+
+    fn.__name__ = fn.__qualname__ = (f"_qmm_mmt__{stage}" if stage
+                                     else "_qmm_mmt")
+    return jax.jit(fn, static_argnames=("interpret",))
+
+
+def qmm_prefill_t(h_perm: jax.Array, words: jax.Array, layer,
+                  stage: str = "ffn") -> jax.Array:
+    """h_perm (R, H) k-major @ word-transposed w2t/w2tp (L, H/8, D) ->
+    (R, D) in the layout's own column order (w2tp callers un-permute)."""
+    return _qmm_mmt_jit(stage)(h_perm, words, jnp.asarray(layer, jnp.int32),
+                               _INTERPRET)
+
+
+def mmt_supported(h_shape, words) -> bool:
+    rows = 1
+    for s in h_shape[:-1]:
+        rows *= s
+    return (words.ndim == 3 and rows >= 32
+            and h_shape[-1] == words.shape[1] * 8)
+
+
+# ---------------------------------------------------------------------------
 # fused gf4 FFN: w1/w3 + activation + w2 in ONE kernel
 # ---------------------------------------------------------------------------
 

@@ -159,14 +159,21 @@ def qmatmul(x: jax.Array, qt: QTensor, out_dtype=jnp.float32,
             and qt.fmt == "gf4"
             and (layer is not None) == (qt.data.ndim == 3)):
         from calm_tpu.ops import pallas_qmm
+        lead = x.shape[:-1]
+        rows = 1
+        for s in lead:
+            rows *= s
         if pallas_qmm.supported(x.shape, qt.data, qt.fmt):
-            lead = x.shape[:-1]
-            rows = 1
-            for s in lead:
-                rows *= s
             out = pallas_qmm.qmm_decode(
                 x.reshape(rows, x.shape[-1]).astype(jnp.float32),
                 qt.data, qt.fmt, layer, stage=stage)
+            return out.reshape(*lead, out.shape[-1])
+        if pallas_qmm.mm_supported(x.shape, qt.data, qt.fmt):
+            # prefill-sized rows: row-blocked plane-dot matmul (decode-once
+            # VMEM plane scratch; the XLA path materializes the 8x unpack)
+            out = pallas_qmm.qmm_prefill(
+                x.reshape(rows, x.shape[-1]).astype(jnp.float32),
+                qt.data, layer, stage=stage)
             return out.reshape(*lead, out.shape[-1])
 
     data = qt.data
@@ -246,13 +253,26 @@ def qmatmul_w2t(h_perm: jax.Array, words: jax.Array, layer,
     ``permuted_out`` (the w2tp layout) additionally un-permutes the
     plane-major output columns back to natural order."""
     L, Hp, Dn = words.shape
-    wsel = jax.lax.dynamic_index_in_dim(words, layer, 0, keepdims=False)
-    dt = jnp.float32 if (_PRECISE or not _USE_PALLAS) else jnp.bfloat16
-    dec = gf4_decode_words(wsel, dt).reshape(Hp, Dn, 8)
     lead = h_perm.shape[:-1]
-    hp = h_perm.reshape(*lead, 8, Hp).astype(dt)
-    out = jnp.einsum("...kc,cdk->...d", hp, dec,
-                     preferred_element_type=jnp.float32)
+    rows = 1
+    for s in lead:
+        rows *= s
+    if _USE_PALLAS and not _PRECISE:
+        from calm_tpu.ops import pallas_qmm
+        use_kernel = pallas_qmm.mmt_supported(h_perm.shape, words)
+    else:
+        use_kernel = False
+    if use_kernel:
+        out = pallas_qmm.qmm_prefill_t(
+            h_perm.reshape(rows, h_perm.shape[-1]).astype(jnp.float32),
+            words, layer).reshape(*lead, Dn)
+    else:
+        wsel = jax.lax.dynamic_index_in_dim(words, layer, 0, keepdims=False)
+        dt = jnp.float32 if (_PRECISE or not _USE_PALLAS) else jnp.bfloat16
+        dec = gf4_decode_words(wsel, dt).reshape(Hp, Dn, 8)
+        hp = h_perm.reshape(*lead, 8, Hp).astype(dt)
+        out = jnp.einsum("...kc,cdk->...d", hp, dec,
+                         preferred_element_type=jnp.float32)
     return _unpermute_last(out) if permuted_out else out
 
 

@@ -417,3 +417,90 @@ def test_moe_path_in_model(rng, batch):
         pallas_attn.set_interpret(False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("rows", [32, 100, 256])
+def test_gf4_prefill_matmul(rng, rows):
+    """Row-blocked gf4 prefill matmul (decode-once plane scratch) matches
+    the f32 dequant reference, including partial row/d blocks."""
+    d, n = 384, 256
+    qt, _ = make_qt(rng, d, n, "gf4")
+    x = rng.standard_normal((rows, n)).astype(np.float32)
+    want = np.asarray(x @ np.asarray(qmm.dequant(qt)).T)
+    assert pallas_qmm.mm_supported(x.shape, qt.data, "gf4")
+    got = np.asarray(pallas_qmm.qmm_prefill(jnp.asarray(x), qt.data))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_gf4_prefill_matmul_layered(rng):
+    """Layer-stacked dispatch: scalar-prefetch layer index selects the
+    plane, matching per-layer dense matmuls."""
+    L, d, n, rows = 3, 256, 128, 64
+    stacks, dense = [], []
+    for _ in range(L):
+        qt, _ = make_qt(rng, d, n, "gf4")
+        stacks.append(np.asarray(qt.data))
+        dense.append(np.asarray(qmm.dequant(qt)))
+    wdata = jnp.asarray(np.stack(stacks))
+    x = rng.standard_normal((rows, n)).astype(np.float32)
+    for l in range(L):
+        got = np.asarray(pallas_qmm.qmm_prefill(jnp.asarray(x), wdata,
+                                                jnp.int32(l)))
+        np.testing.assert_allclose(got, x @ dense[l].T,
+                                   rtol=3e-2, atol=3e-2)
+
+
+def test_gf4_prefill_matmul_transposed(rng):
+    """Word-transposed (w2t) prefill kernel: permuted-order h against the
+    fused-FFN weight layout matches the einsum consumption path."""
+    L, D, H, rows = 2, 256, 384, 48
+    words, dense = [], []
+    for _ in range(L):
+        qt, _ = make_qt(rng, D, H, "gf4")       # w2: (D, H) packed along H
+        words.append(np.asarray(qt.data).T)     # (H/8, D) word-transpose
+        dense.append(np.asarray(qmm.dequant(qt)))
+    wt = jnp.asarray(np.stack(words))
+    h_nat = rng.standard_normal((rows, H)).astype(np.float32)
+    # k-major permuted order: h_perm[:, k*(H/8)+c] = h_nat[:, 8c+k]
+    h_perm = h_nat.reshape(rows, H // 8, 8).transpose(0, 2, 1).reshape(rows, H)
+    assert pallas_qmm.mmt_supported(h_perm.shape, wt)
+    for l in range(L):
+        got = np.asarray(pallas_qmm.qmm_prefill_t(jnp.asarray(h_perm), wt,
+                                                  jnp.int32(l)))
+        np.testing.assert_allclose(got, h_nat @ dense[l].T,
+                                   rtol=3e-2, atol=3e-2)
+
+
+def test_gf4_prefill_kernel_in_model(rng):
+    """Full prefill through fused (zero-copy) gf4 weights with the pallas
+    path on: the row-blocked matmul kernels carry the prompt and the
+    logits/cache match the pallas-off reference."""
+    from calm_tpu import model as M
+    from calm_tpu.config import ModelConfig
+    from calm_tpu.utils.synth import synth_weights
+
+    cfg = ModelConfig(dim=128, hidden_dim=256, head_dim=32, n_layers=2,
+                      n_heads=4, n_kv_heads=2, vocab_size=256, seq_len=64,
+                      rope_theta=10000.0, rotary_dim=32, norm_ln=False,
+                      dtype="gf4")
+    wf = M.fuse_gf4_weights(synth_weights(cfg), cfg)
+    toks = jnp.asarray([list(range(2, 34))], jnp.int32)  # 32 rows >= kernel min
+    pos0 = jnp.zeros((1,), jnp.int32)
+
+    cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+    want, cw = M.prefill(cfg, wf, toks, pos0, cache, logits_mode="all")
+
+    qmm.enable_pallas(True)
+    try:
+        from calm_tpu.ops import pallas_attn
+        pallas_attn.set_interpret(True)
+        cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+        got, cg = M.prefill(cfg, wf, toks, pos0, cache, logits_mode="all")
+    finally:
+        qmm.enable_pallas(False)
+        pallas_attn.set_interpret(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(cg.k, np.float32),
+                               np.asarray(cw.k, np.float32),
+                               rtol=5e-2, atol=5e-2)

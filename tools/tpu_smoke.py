@@ -132,6 +132,36 @@ def main() -> int:
         else:
             print(f"ok   {dtype} {kvname} edge-crossing  (rel err {rel:.4f})")
 
+    # gf4 PREFILL matmul kernels (row-blocked plane-dot + word-transposed
+    # w2 variant): must lower on Mosaic and match the pallas-off prefill
+    for hidden in (512, 2752):  # 2752/8 = 344: lane-unaligned packed axis
+        cfg = tiny_cfg("gf4", hidden)
+        w = M.fuse_gf4_weights(synth_weights(cfg), cfg)
+        toks = jnp.asarray([list(range(2, 66))], jnp.int32)  # 64 rows
+        p0 = jnp.zeros((1,), jnp.int32)
+        try:
+            qmm.enable_pallas(True)
+            cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+            lf, _ = M.prefill(cfg, w, toks, p0, cache, logits_mode="last")
+            lf = np.asarray(lf, np.float32)
+            qmm.enable_pallas(False)
+            cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+            lr, _ = M.prefill(cfg, w, toks, p0, cache, logits_mode="last")
+            lr = np.asarray(lr, np.float32)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL gf4 prefill kernel hidden={hidden}: "
+                  f"{type(e).__name__}: {e}")
+            failures += 1
+            continue
+        finally:
+            qmm.enable_pallas(jax.default_backend() == "tpu")
+        rel = (np.abs(lf - lr) / (np.abs(lr).max() + 1e-6)).max()
+        if rel > 5e-2:
+            print(f"FAIL gf4 prefill kernel hidden={hidden}: rel {rel:.3f}")
+            failures += 1
+        else:
+            print(f"ok   gf4 prefill kernel hidden={hidden} (rel {rel:.4f})")
+
     # paged KV: the page-table BlockSpec redirect must lower on Mosaic and
     # match the dense path token-for-token
     from calm_tpu import paged as P
