@@ -105,6 +105,12 @@ def make_handler(sched: _Scheduler):
                                                         for p in pcs)}),
                     "pages_in_use": (None if srv._paged is None
                                      else srv._paged.pages_in_use()),
+                    "speculative": (None if srv._draft is None else {
+                        "rounds": srv.spec_rounds,
+                        "emitted": srv.spec_emitted,
+                        "acceptance": (srv.spec_accepted
+                                       / max(srv.spec_emitted, 1)),
+                    }),
                 })
             else:
                 self._json(404, {"error": "not found"})
@@ -224,6 +230,12 @@ def main(argv=None):
                     help="paged mode: shard slots over this many local "
                          "devices (one independent pool+decoder each; "
                          "requires --page-rows, batch %% dp == 0)")
+    ap.add_argument("--draft", default=None,
+                    help="draft checkpoint for speculative serving "
+                         "(greedy-exact; engages while every active "
+                         "request is greedy)")
+    ap.add_argument("--gamma", type=int, default=4,
+                    help="speculative draft length per round")
     args = ap.parse_args(argv)
 
     dp_devices = None
@@ -235,7 +247,8 @@ def main(argv=None):
                     kv_dtype=args.kv, device_sampling=args.device_sampling,
                     prefix_cache_tokens=args.prefix_cache_tokens,
                     page_rows=args.page_rows, pool_pages=args.pool_pages,
-                    max_pending=args.max_pending, dp_devices=dp_devices)
+                    max_pending=args.max_pending, dp_devices=dp_devices,
+                    draft_path=args.draft, gamma=args.gamma)
     print(server.engine.banner())
     httpd = serve_http(server, args.host, args.port,
                        default_timeout_s=args.timeout_s)

@@ -191,7 +191,8 @@ class Server:
                  seed: int = 42, mesh=None, plan=None,
                  prefix_cache_tokens: int = 0,
                  page_rows: int = 0, pool_pages: int = 0,
-                 max_pending: int = 0, dp_devices=None):
+                 max_pending: int = 0, dp_devices=None,
+                 draft_path: str | None = None, gamma: int = 4):
         # optional sharded execution: weights/cache placed on the mesh, the
         # decode/prefill steps run under shard_map (continuous batching on a
         # tp/ep-sharded model; scale hosts with jax.distributed + dp shards)
@@ -287,6 +288,27 @@ class Server:
                     on_evict=self._paged.unpin_pages)
             else:
                 self.prefix_cache = PrefixCache(prefix_cache_tokens)
+        # speculative continuous batching (standalone single-stream version:
+        # calm_tpu/speculative.py): a draft model proposes ``gamma`` tokens
+        # per slot in ONE batched greedy scan, the target verifies every
+        # slot's chain in ONE (B, gamma) forward, and each slot emits its
+        # longest target-matching prefix plus the target's correction —
+        # greedy-EXACT (only target argmaxes are ever emitted). Engaged per
+        # tick only while every active request is greedy and away from the
+        # window edge; otherwise plain ticks run and the draft cache is
+        # stepped alongside to stay in sync.
+        self._draft = None
+        self.gamma = gamma
+        self.spec_rounds = self.spec_accepted = self.spec_emitted = 0
+        if draft_path is not None:
+            assert not self._sharded and not page_rows, \
+                "speculative serving is dense single-device for now"
+            self._draft = Engine(draft_path,
+                                 context=self.engine.cfg.seq_len,
+                                 kv_dtype=kv_dtype, batch=batch)
+            assert (self._draft.cfg.vocab_size
+                    == self.engine.cfg.vocab_size), \
+                "draft and target must share the vocabulary"
         self.slots = [_Slot() for _ in range(batch)]
         self.pending: deque[Request] = deque()
         self.max_pending = max_pending  # 0 = unbounded
@@ -406,6 +428,72 @@ class Server:
                 jnp.int32(len(suffix)), jnp.int32(b), eng.cache,
                 pos0=jnp.int32(hit))
 
+    def _spec_ready(self) -> bool:
+        """Speculate this tick? Every active request must be greedy (the
+        acceptance rule is argmax-exact) and far enough from the window
+        edge for a full gamma round (the standalone horizon guard,
+        speculative.py)."""
+        S = self.engine.cfg.seq_len
+        act = [s for s in self.slots if s.active]
+        return bool(act) and all(
+            s.req.temperature == 0.0 and s.pos + self.gamma + 1 < S
+            for s in act)
+
+    def _tick_speculative(self):
+        """One speculative round for the whole batch: draft scan (B, g),
+        ONE target (B, g) verify forward, host acceptance per slot.
+        Emits 1..g target argmaxes per slot; cache rows past a slot's
+        mismatch are stale-but-masked and get overwritten by later writes
+        (same invariant as the standalone loop, speculative.py:133-168)."""
+        eng, draft, g = self.engine, self._draft, self.gamma
+        tok = eng.tokenizer
+        tokens = jnp.asarray(self._tokens)
+        pos = jnp.asarray(self._pos)
+        # 1) draft proposes g greedy tokens per slot (one device scan)
+        d_toks, draft.cache, _ = M.decode_scan(
+            draft.cfg, draft.weights, tokens, pos, draft.cache, g,
+            rolling=False)
+        proposal = np.asarray(d_toks)                      # (B, g)
+        # 2) the target scores every slot's chain in one forward:
+        #    t_logits[b, i] judges proposal[b, i]
+        verify = np.concatenate([self._tokens[:, None], proposal[:, :-1]],
+                                axis=1).astype(np.int32)
+        t_logits, eng.cache = M.prefill(
+            eng.cfg, eng.weights, jnp.asarray(verify), pos, eng.cache,
+            logits_mode="all")
+        t_args = np.asarray(jnp.argmax(t_logits, axis=-1))  # (B, g)
+        # 3) per-slot longest matching prefix + the target's correction
+        now = time.perf_counter()
+        self.spec_rounds += 1
+        for b in range(self._own_lo, self._own_hi):
+            slot = self.slots[b]
+            if not slot.active:
+                continue
+            req = slot.req
+            for i in range(g):
+                nxt = int(t_args[b, i])
+                match = nxt == int(proposal[b, i])
+                self.spec_accepted += int(match)
+                self.spec_emitted += 1
+                if req.n_generated == 0:
+                    req.first_token_at = now
+                slot.pos += 1
+                req.n_generated += 1
+                stop = (nxt in (tok.bos_id, tok.eos_id, tok.eot_id)
+                        or req.n_generated >= req.max_tokens)
+                if stop:
+                    self._finish(req, b, now)
+                    break
+                piece = tok.decode_piece(slot.token, nxt)
+                slot.out += piece
+                if req.on_piece:
+                    req.on_piece(piece.decode("utf-8", errors="replace"))
+                slot.token = nxt
+                self._tokens[b] = nxt
+                self._pos[b] = slot.pos
+                if not match:
+                    break  # target corrected the draft: round over
+
     def _slot_prefix_cache(self, b: int):
         """The prefix cache that can serve slot b: dp-sharded paged mode
         keeps one per decoder (pinned page ids are pool-local)."""
@@ -416,6 +504,7 @@ class Server:
     def _admit(self):
         eng = self.engine
         admissions: list[tuple[int, list[int], int]] = []
+        draft_pre: list[tuple[int, list[int]]] = []
         for b in range(self._own_lo, self._own_hi):
             slot = self.slots[b]
             if slot.active or not self.pending:
@@ -484,9 +573,23 @@ class Server:
                 if self.prefix_cache is not None:
                     # defer the save until after the prefill runs below
                     slot._save_prefix = pre
+                if self._draft is not None:
+                    # the draft has no prefix cache: it prefills the FULL
+                    # prompt into its own slot
+                    draft_pre.append((b, pre))
 
         for b, suffix, hit in self._merge_admissions(admissions):
             self._prefill_one(b, suffix, hit)
+
+        for b, pre in draft_pre:
+            d = self._draft
+            T = bucket_len(len(pre), d.cfg.seq_len)
+            padded = np.zeros((1, T), np.int32)
+            padded[0, : len(pre)] = pre
+            _, d.cache = M.prefill_slot(
+                d.cfg, d.weights, jnp.asarray(padded),
+                jnp.int32(len(pre)), jnp.int32(b), d.cache,
+                pos0=jnp.int32(0))
 
         if self.prefix_cache is not None:
             for b in range(self._own_lo, self._own_hi):
@@ -602,11 +705,24 @@ class Server:
             logits, eng.cache = self._decode_fn(
                 eng.weights, self._global_batch_arr(self._tokens),
                 self._global_batch_arr(self._pos), eng.cache)
+        elif self._draft is not None and self._spec_ready():
+            self._tick_speculative()
+            return
         else:
+            rolling = bool(np.any(self._pos + 1 >= eng.cfg.seq_len))
             logits, eng.cache = M.decode_step(
                 eng.cfg, eng.weights,
                 jnp.asarray(self._tokens), jnp.asarray(self._pos), eng.cache,
-                rolling=bool(np.any(self._pos + 1 >= eng.cfg.seq_len)))
+                rolling=rolling)
+            if self._draft is not None:
+                # keep the draft's cache in sync through plain ticks (a
+                # sampled request or the window edge disables speculation,
+                # not the draft) — rolling mechanics are pos-deterministic,
+                # so both caches stay consistent
+                d = self._draft
+                _, d.cache = M.decode_step(
+                    d.cfg, d.weights, jnp.asarray(self._tokens),
+                    jnp.asarray(self._pos), d.cache, rolling=rolling)
 
         if self._paged is None:
             if self.device_sampling:

@@ -870,3 +870,53 @@ def test_sharded_server_gf4_fused(tmp_path):
         assert r1.done and r2.done
         outs.append((r1.text, r2.text))
     assert outs[0] == outs[1]
+
+
+def test_speculative_server_parity(model_path, tmp_path):
+    """Speculative continuous batching is greedy-EXACT: texts match the
+    plain server both with a perfect draft (the target itself: every
+    proposal accepted) and with a mismatching draft (different weights:
+    corrections keep the emitted chain the target's argmaxes)."""
+    prompts = ["hello world", "the quick", "pack my box"]
+
+    plain = Server(model_path, batch=2, kv_dtype="fp16")
+    want = [plain.submit(p, max_tokens=8, temperature=0.0) for p in prompts]
+    plain.run_until_drained(max_ticks=60)
+    want = [r.text for r in want]
+
+    spec = Server(model_path, batch=2, kv_dtype="fp16",
+                  draft_path=model_path, gamma=4)
+    got = [spec.submit(p, max_tokens=8, temperature=0.0) for p in prompts]
+    spec.run_until_drained(max_ticks=60)
+    assert [r.text for r in got] == want
+    assert spec.spec_rounds > 0
+    assert spec.spec_accepted == spec.spec_emitted  # perfect draft
+
+    dpath = str(tmp_path / "draft.calm")
+    write_tiny_model(dpath, tiny_config(dtype="fp16", seq_len=64), seed=9)
+    spec2 = Server(model_path, batch=2, kv_dtype="fp16",
+                   draft_path=dpath, gamma=3)
+    got2 = [spec2.submit(p, max_tokens=8, temperature=0.0)
+            for p in prompts]
+    spec2.run_until_drained(max_ticks=60)
+    assert [r.text for r in got2] == want
+    assert spec2.spec_rounds > 0
+
+
+def test_speculative_server_mixed_sampling(model_path):
+    """A sampled request in the batch suspends speculation (plain ticks
+    keep the draft synced); the greedy request's text stays exact and
+    speculation resumes once the batch is all-greedy again."""
+    plain = Server(model_path, batch=2, kv_dtype="fp16")
+    g = plain.submit("hello world", max_tokens=10, temperature=0.0)
+    s = plain.submit("the quick", max_tokens=4, temperature=0.8, seed=3)
+    plain.run_until_drained(max_ticks=60)
+
+    spec = Server(model_path, batch=2, kv_dtype="fp16",
+                  draft_path=model_path, gamma=4)
+    g2 = spec.submit("hello world", max_tokens=10, temperature=0.0)
+    s2 = spec.submit("the quick", max_tokens=4, temperature=0.8, seed=3)
+    spec.run_until_drained(max_ticks=60)
+    assert g2.text == g.text
+    assert s2.text == s.text
+    assert spec.spec_rounds > 0  # resumed after the sampled one drained
