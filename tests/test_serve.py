@@ -920,3 +920,26 @@ def test_speculative_server_mixed_sampling(model_path):
     assert g2.text == g.text
     assert s2.text == s.text
     assert spec.spec_rounds > 0  # resumed after the sampled one drained
+
+
+def test_speculative_server_with_prefix_cache(model_path):
+    """Speculation composes with prompt prefix sharing: the target admits
+    via cached rows + suffix prefill while the draft prefills the full
+    prompt; outputs stay exact and the cache still hits."""
+    sys_prompt = "abcd efgh " * 4
+    plain = Server(model_path, batch=1, kv_dtype="fp16")
+    w1 = plain.submit(sys_prompt + "one", max_tokens=6, temperature=0.0)
+    plain.run_until_drained(max_ticks=40)
+    w2 = plain.submit(sys_prompt + "two", max_tokens=6, temperature=0.0)
+    plain.run_until_drained(max_ticks=40)
+
+    spec = Server(model_path, batch=1, kv_dtype="fp16",
+                  draft_path=model_path, gamma=4,
+                  prefix_cache_tokens=4096)
+    r1 = spec.submit(sys_prompt + "one", max_tokens=6, temperature=0.0)
+    spec.run_until_drained(max_ticks=40)
+    r2 = spec.submit(sys_prompt + "two", max_tokens=6, temperature=0.0)
+    spec.run_until_drained(max_ticks=40)
+    assert r2.cached_prefix > 0 and spec.prefix_cache.hits == 1
+    assert r1.text == w1.text and r2.text == w2.text
+    assert spec.spec_rounds > 0
