@@ -604,3 +604,28 @@ def test_tp2_gf4_fused_sharded(tmp_path, moe):
         pallas_qmm.set_interpret(False)
         pallas_attn.set_interpret(False)
     np.testing.assert_allclose(got_k, want, rtol=5e-2, atol=5e-2)
+
+
+def test_fuse_weights_sharded_gates(tmp_path):
+    """gf4 shapes a tp mesh cannot word-align are rejected at plan
+    validation (before any fusion question arises); non-gf4 formats pass
+    through fuse_weights_sharded unchanged with fused=False."""
+    from calm_tpu.parallel.sharding import fuse_weights_sharded
+
+    # hidden 72 over tp=2 -> 36 words-per-shard misalignment: the natural
+    # sharding itself is invalid for gf4 (w2's packed H axis must split on
+    # word boundaries) — validate refuses
+    cfg = tiny_config(dtype="gf4", dim=64, hidden_dim=72, head_dim=16,
+                      rotary_dim=16, vocab_size=272)
+    w = build(tmp_path, cfg)
+    plan = ShardingPlan(tp="tp")
+    mesh = make_mesh(tp=2)
+    with pytest.raises(AssertionError):
+        shard_weights(w, cfg, mesh, plan)
+
+    # fp16: fusion is a gf4 concept; pass-through
+    cfg2 = tiny_config(dtype="fp16")
+    w2 = build(tmp_path, cfg2)
+    ws = shard_weights(w2, cfg2, mesh, plan)
+    wf, fused = fuse_weights_sharded(ws, cfg2, mesh, plan)
+    assert not fused and wf is ws
