@@ -298,7 +298,11 @@ class Server:
         # window edge; otherwise plain ticks run and the draft cache is
         # stepped alongside to stay in sync.
         self._draft = None
-        self.gamma = gamma
+        self.gamma = gamma          # maximum draft depth
+        self._gamma_now = gamma     # adaptive: shrinks when the draft
+        # misses often (each round costs a g-step draft scan + a (B, g)
+        # verify; at low acceptance shallow rounds waste less), regrows on
+        # sustained matches
         self.spec_rounds = self.spec_accepted = self.spec_emitted = 0
         if draft_path is not None:
             assert not self._sharded and not page_rows, \
@@ -436,7 +440,7 @@ class Server:
         S = self.engine.cfg.seq_len
         act = [s for s in self.slots if s.active]
         return bool(act) and all(
-            s.req.temperature == 0.0 and s.pos + self.gamma + 1 < S
+            s.req.temperature == 0.0 and s.pos + self._gamma_now + 1 < S
             for s in act)
 
     def _tick_speculative(self):
@@ -445,7 +449,7 @@ class Server:
         Emits 1..g target argmaxes per slot; cache rows past a slot's
         mismatch are stale-but-masked and get overwritten by later writes
         (same invariant as the standalone loop, speculative.py:133-168)."""
-        eng, draft, g = self.engine, self._draft, self.gamma
+        eng, draft, g = self.engine, self._draft, self._gamma_now
         tok = eng.tokenizer
         tokens = jnp.asarray(self._tokens)
         pos = jnp.asarray(self._pos)
@@ -465,6 +469,7 @@ class Server:
         # 3) per-slot longest matching prefix + the target's correction
         now = time.perf_counter()
         self.spec_rounds += 1
+        round_match = round_seen = 0
         for b in range(self._own_lo, self._own_hi):
             slot = self.slots[b]
             if not slot.active:
@@ -475,6 +480,8 @@ class Server:
                 match = nxt == int(proposal[b, i])
                 self.spec_accepted += int(match)
                 self.spec_emitted += 1
+                round_match += int(match)
+                round_seen += 1
                 if req.n_generated == 0:
                     req.first_token_at = now
                 slot.pos += 1
@@ -493,6 +500,14 @@ class Server:
                 self._pos[b] = slot.pos
                 if not match:
                     break  # target corrected the draft: round over
+        # adapt the draft depth to the observed acceptance (each distinct
+        # depth compiles one draft-scan program; the set is bounded by
+        # [1, gamma])
+        rate = round_match / max(round_seen, 1)
+        if rate >= 0.8:
+            self._gamma_now = min(self.gamma, self._gamma_now + 1)
+        elif rate < 0.4:
+            self._gamma_now = max(1, self._gamma_now - 1)
 
     def _slot_prefix_cache(self, b: int):
         """The prefix cache that can serve slot b: dp-sharded paged mode

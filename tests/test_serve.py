@@ -943,3 +943,30 @@ def test_speculative_server_with_prefix_cache(model_path):
     assert r2.cached_prefix > 0 and spec.prefix_cache.hits == 1
     assert r1.text == w1.text and r2.text == w2.text
     assert spec.spec_rounds > 0
+
+
+def test_speculative_gamma_adapts(model_path, tmp_path):
+    """Draft depth adapts to acceptance: a perfect draft holds the maximum
+    gamma; a mismatching draft shrinks it (bounded at 1) — texts stay
+    exact either way."""
+    spec = Server(model_path, batch=1, kv_dtype="fp16",
+                  draft_path=model_path, gamma=4)
+    spec.submit("hello world", max_tokens=12, temperature=0.0)
+    spec.run_until_drained(max_ticks=60)
+    assert spec._gamma_now == 4  # perfect draft: never shrinks
+
+    dpath = str(tmp_path / "bad_draft.calm")
+    write_tiny_model(dpath, tiny_config(dtype="fp16", seq_len=64), seed=77)
+    plain = Server(model_path, batch=1, kv_dtype="fp16")
+    w = plain.submit("hello world", max_tokens=12, temperature=0.0)
+    plain.run_until_drained(max_ticks=60)
+
+    spec2 = Server(model_path, batch=1, kv_dtype="fp16",
+                   draft_path=dpath, gamma=4)
+    r = spec2.submit("hello world", max_tokens=12, temperature=0.0)
+    spec2.run_until_drained(max_ticks=60)
+    assert r.text == w.text                      # exactness regardless
+    acc = spec2.spec_accepted / max(spec2.spec_emitted, 1)
+    if acc < 0.4:                                # random draft: shrinks
+        assert spec2._gamma_now < 4
+    assert 1 <= spec2._gamma_now <= 4
