@@ -622,6 +622,59 @@ def _attention_fresh(cfg: ModelConfig, q, k, v, q_pos):
     return out.reshape(B, T, H * hd)
 
 
+def _attention_ring(cfg: ModelConfig, q, k, v, q_pos, sp_axis: str,
+                    kv_dtype):
+    """Blockwise RING attention for sp prefill (plan.ring): the K/V chunks
+    rotate around the sp axis via collective-permute while each shard folds
+    one chunk per hop into a running online softmax. Numerically the same
+    softmax as :func:`_attention_fresh` with a different association;
+    memory stays O(T_local) per shard (the all-gather path transiently
+    materializes the full prompt's K/V on every shard). Chunks travel at
+    cache precision, like the all-gather. Hop r holds shard (i - r) mod n's
+    chunk; the first hop is the LOCAL chunk, whose causal diagonal
+    guarantees the running max is finite from the start."""
+    B, T, H, hd = q.shape
+    KVH = k.shape[2]
+    M = H // KVH
+    n = jax.lax.axis_size(sp_axis)
+    i = jax.lax.axis_index(sp_axis)
+    cdt = jnp.bfloat16 if pallas_decode_enabled() else jnp.float32
+
+    qf = q.reshape(B, T, KVH, M, hd).astype(cdt)
+    kc = k.astype(kv_dtype)
+    vc = v.astype(kv_dtype)
+    m = jnp.full((B, KVH, M, T), -jnp.inf, jnp.float32)
+    l = jnp.zeros((B, KVH, M, T), jnp.float32)
+    acc = jnp.zeros((B, T, KVH, M, hd), jnp.float32)
+    perm = [(j, (j + 1) % n) for j in range(n)]
+    scale = 1.0 / math.sqrt(hd)
+
+    for r in range(n):
+        base = (jax.lax.rem(i - r + n, n) * T).astype(jnp.int32)
+        kf = kc.transpose(0, 2, 1, 3).astype(cdt)   # (B, KVH, T, hd)
+        vf = vc.transpose(0, 2, 1, 3).astype(cdt)
+        s = jnp.einsum("btkmh,bksh->bkmts", qf, kf,
+                       preferred_element_type=jnp.float32) * scale
+        causal = ((base + jnp.arange(T, dtype=jnp.int32))[None, None, :]
+                  <= q_pos[:, :, None])              # (B, T_q, T_kv)
+        s = jnp.where(causal[:, None, None, :, :], s, -jnp.inf)
+        cm = jnp.max(s, axis=-1)                     # (B, KVH, M, T_q)
+        m_new = jnp.maximum(m, cm)
+        p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new[..., None]), 0.0)
+        alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - m_new), 0.0)
+        l = l * alpha + p.sum(-1)
+        hop = jnp.einsum("bkmts,bksh->btkmh", p.astype(cdt), vf,
+                         preferred_element_type=jnp.float32)
+        acc = acc * alpha.transpose(0, 3, 1, 2)[..., None] + hop
+        m = m_new
+        if r != n - 1:
+            kc = jax.lax.ppermute(kc, sp_axis, perm)
+            vc = jax.lax.ppermute(vc, sp_axis, perm)
+
+    out = acc / jnp.maximum(l.transpose(0, 3, 1, 2)[..., None], 1e-37)
+    return out.reshape(B, T, H * hd)
+
+
 def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
              plan: ShardingPlan):
     """Top-k routed MoE ffn; returns the (partial) residual contribution.
@@ -917,16 +970,21 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         kc = jax.lax.dynamic_update_slice(kc, upd, (layer, boff, 0, 0, 0))
 
     if plan.sp is not None and T > 1:
-        # sequence-parallel prefill: all-gather the fresh K/V chunks over sp
-        # (cache rows are S-sharded; reading them back would need the same
-        # collective anyway) and attend local queries causally. Gather at
-        # cache precision: halves the collective bytes and keeps numerics
-        # identical to the cache-read path.
-        k_all = jax.lax.all_gather(k.astype(kv_dtype), plan.sp, axis=1,
-                                   tiled=True)
-        v_all = jax.lax.all_gather(v.astype(kv_dtype), plan.sp, axis=1,
-                                   tiled=True)
-        att = _attention_fresh(cfg, q, k_all, v_all, pos)
+        if plan.ring:
+            # blockwise ring attention: chunks rotate via ppermute, peak
+            # per-shard memory O(T_local) (see _attention_ring)
+            att = _attention_ring(cfg, q, k, v, pos, plan.sp, kv_dtype)
+        else:
+            # sequence-parallel prefill: all-gather the fresh K/V chunks
+            # over sp (cache rows are S-sharded; reading them back would
+            # need the same collective anyway) and attend local queries
+            # causally. Gather at cache precision: halves the collective
+            # bytes and keeps numerics identical to the cache-read path.
+            k_all = jax.lax.all_gather(k.astype(kv_dtype), plan.sp, axis=1,
+                                       tiled=True)
+            v_all = jax.lax.all_gather(v.astype(kv_dtype), plan.sp, axis=1,
+                                       tiled=True)
+            att = _attention_fresh(cfg, q, k_all, v_all, pos)
     elif T > 1 and not rolling and pallas_decode_enabled():
         # flash prefill: blockwise online softmax against the carried cache
         # (the jnp path materializes (KVH, M, T, S) f32 scores — 2 GB

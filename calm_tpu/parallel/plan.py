@@ -44,6 +44,17 @@ class ShardingPlan:
     sp: str | None = None   # sequence-parallel (prefill) mesh axis name
     pp: str | None = None   # pipeline-parallel mesh axis name (layer stages;
                             # see calm_tpu/parallel/pipeline.py)
+    ring: bool = False      # sp prefill attention as BLOCKWISE RING
+                            # (ring attention / blockwise context
+                            # parallelism): K/V chunks rotate over the sp
+                            # axis via collective-permute while each shard
+                            # folds one chunk per hop into a running
+                            # online softmax — peak per-shard memory stays
+                            # O(T_local) (the all-gather path transiently
+                            # holds the FULL prompt's K/V per shard), and
+                            # each hop's ppermute can overlap the previous
+                            # chunk's attention under XLA's scheduler.
+                            # Exact same softmax, different association.
     rs_ag: bool = False     # close the wo/w2 residual psum as
                             # reduce-scatter + all-gather instead of one
                             # all-reduce: the two phases each move half an

@@ -629,3 +629,68 @@ def test_fuse_weights_sharded_gates(tmp_path):
     ws = shard_weights(w2, cfg2, mesh, plan)
     wf, fused = fuse_weights_sharded(ws, cfg2, mesh, plan)
     assert not fused and wf is ws
+
+
+def test_sp_ring_prefill_parity(tmp_path):
+    """Ring-attention sp prefill (plan.ring: K/V chunks rotate via
+    ppermute, online-softmax folding) matches the plain prefill AND the
+    all-gather sp path; sp decode continues on the cache it writes."""
+    from calm_tpu.parallel.sharding import (_tree_shardings, cache_pspecs,
+                                            sharded_prefill_sp)
+
+    cfg = tiny_config(dtype="fp16", seq_len=16)
+    w = build(tmp_path, cfg)
+    prompt = jnp.asarray([[1, 5, 9, 200, 42, 7, 3, 11,
+                           8, 2, 250, 17, 33, 4, 99, 6]], jnp.int32)
+
+    cache = M.KVCache.create(cfg, 1, jnp.float16)
+    want, want_cache = M.prefill(cfg, w, prompt, jnp.zeros((1,), jnp.int32),
+                                 cache, logits_mode="all")
+
+    plan = ShardingPlan(tp="tp", sp="dp", ring=True)
+    mesh = make_mesh(tp=2, dp=4)
+    ws = shard_weights(w, cfg, mesh, plan)
+    sp_cache = jax.device_put(
+        M.KVCache.create(cfg, 1, jnp.float16),
+        _tree_shardings(mesh, cache_pspecs(plan, sp=True)))
+    spf = sharded_prefill_sp(cfg, mesh, plan)
+    got, got_cache = spf(ws, prompt, sp_cache)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_cache.k, dtype=np.float32),
+        np.asarray(want_cache.k, dtype=np.float32), rtol=1e-3, atol=1e-3)
+
+
+def test_sp_ring_prefill_then_decode(tmp_path):
+    """Ring prefill hands off to sp DECODE on the same S-sharded cache
+    (partial-softmax merge): the decoded logits match serial stepping."""
+    from calm_tpu.parallel.sharding import (_tree_shardings, cache_pspecs,
+                                            sharded_decode_step,
+                                            sharded_prefill_sp)
+
+    cfg = tiny_config(dtype="fp16", seq_len=16)
+    w = build(tmp_path, cfg)
+    toks = [1, 5, 9, 200, 42, 7, 3, 11, 8, 2, 250, 17, 33, 4, 99, 6]
+
+    # serial reference: prefill 15 then step token 16
+    cache = M.KVCache.create(cfg, 1, jnp.float16)
+    _, cache = M.prefill(cfg, w, jnp.asarray([toks[:-1]], jnp.int32),
+                         jnp.zeros((1,), jnp.int32), cache,
+                         logits_mode="none")
+    want, _ = M.decode_step(cfg, w, jnp.array([toks[-1]]),
+                            jnp.array([15]), cache)
+
+    plan = ShardingPlan(sp="sp", ring=True)
+    mesh = make_mesh(sp=4)
+    ws = shard_weights(w, cfg, mesh, plan)
+    sp_cache = jax.device_put(
+        M.KVCache.create(cfg, 1, jnp.float16),
+        _tree_shardings(mesh, cache_pspecs(plan, sp=True)))
+    spf = sharded_prefill_sp(cfg, mesh, plan)
+    # ring prefill ingests the FULL window (T == seq_len); the last
+    # token's next-logits come straight from its row
+    got_all, sp_cache = spf(ws, jnp.asarray([toks], jnp.int32), sp_cache)
+    np.testing.assert_allclose(np.asarray(got_all)[0, -1],
+                               np.asarray(want)[0], rtol=1e-3, atol=1e-3)
