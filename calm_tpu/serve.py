@@ -18,7 +18,6 @@ Design:
 from __future__ import annotations
 
 import dataclasses
-import queue as _queue
 import threading
 import time
 from collections import OrderedDict, deque

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from calm_tpu.config import ModelConfig  # noqa: E402
 from calm_tpu.parallel.mesh import CHIP_TABLE, Topology  # noqa: E402
-from calm_tpu.profiler import CHIP_FLOPS, roofline, stage_bytes  # noqa: E402
+from calm_tpu.profiler import roofline, stage_bytes  # noqa: E402
 
 PRESETS = {
     "tinyllama": dict(dim=2048, hidden_dim=5632, head_dim=64, n_layers=22,
