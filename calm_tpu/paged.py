@@ -34,14 +34,18 @@ from calm_tpu.config import ModelConfig
 
 
 def paged_decode_step_fn(cfg: ModelConfig, w, token, pos, cache, pt,
-                         rolling: bool = True):
+                         rolling: bool = True, plan=None):
     """One token per slot on a PAGED cache: token/pos (B,), cache the
     (L, P, KVH, PR, hd) pool, pt (B, seq_len//PR) int32 page table ->
-    (logits (B, V), cache)."""
+    (logits (B, V), cache). ``plan`` (tp/ep) makes it the shard_map body
+    for a MESHED pool — the page table is replicated; every pt-indexed
+    write lands on the page/row axes, so each shard updates its own KVH
+    slice with zero extra collectives."""
+    from calm_tpu.parallel.plan import NO_SHARDING
     kv_pos, kv_len = M.decode_indices(cfg, pos)
     return M._forward(cfg, w, token[:, None], pos[:, None], kv_pos[:, None],
                       kv_len, cache, rolling=rolling, logits_mode="last",
-                      pt=pt)
+                      pt=pt, plan=plan or NO_SHARDING)
 
 
 paged_decode_step = jax.jit(paged_decode_step_fn,
@@ -116,7 +120,8 @@ class PagedDecoder:
 
     def __init__(self, cfg: ModelConfig, weights, n_pages: int,
                  page_rows: int = 512, kv_dtype=jnp.bfloat16,
-                 batch: int = 4, device=None):
+                 batch: int = 4, device=None, mesh=None, plan=None,
+                 fused: bool = False):
         assert cfg.seq_len % page_rows == 0, "seq_len must tile into pages"
         self.cfg = cfg
         # ``device``: pin this decoder's pool/compute to one device — the
@@ -125,6 +130,17 @@ class PagedDecoder:
         self.device = device
         if device is not None:
             weights = jax.device_put(weights, device)
+        # ``mesh``/``plan``: run the pool AND compute tp/ep-SHARDED —
+        # weights must arrive already sharded (+``fused`` when
+        # fuse_weights_sharded applied); the pool shards over KVH like the
+        # dense cache, the page table is replicated, and the decode step
+        # runs under shard_map (host sampling only: logits gather to host)
+        assert mesh is None or device is None
+        self.mesh, self.plan, self._fused = mesh, plan, fused
+        if mesh is not None:
+            assert (plan is not None and plan.dp is None
+                    and plan.sp is None and plan.pp is None), \
+                "paged+mesh supports tp/ep plans"
         self.weights = weights
         self.page_rows = page_rows
         self.n_blocks = cfg.seq_len // page_rows
@@ -140,6 +156,35 @@ class PagedDecoder:
         self.pool = create_pool(cfg, n_pages + 1, page_rows, kv_dtype)
         if device is not None:
             self.pool = jax.device_put(self.pool, device)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from calm_tpu.parallel.sharding import (_tree_shardings,
+                                                    cache_pspecs,
+                                                    sharded_prefill,
+                                                    shard_map,
+                                                    weight_pspecs)
+            self._pool_spec = P(None, None, plan.tp, None, None)
+            self.pool = jax.device_put(
+                self.pool, NamedSharding(mesh, self._pool_spec))
+            wspecs = weight_pspecs(cfg, plan, fused=fused)
+            rep = P()
+
+            def build_step(rolling: bool):
+                fn = shard_map(
+                    partial(paged_decode_step_fn, cfg, rolling=rolling,
+                            plan=plan),
+                    mesh=mesh,
+                    in_specs=(wspecs, rep, rep, self._pool_spec, rep),
+                    out_specs=(P(None, plan.tp), self._pool_spec),
+                    check_vma=False)
+                return jax.jit(fn, donate_argnums=(3,))
+
+            self._mesh_step = {r: build_step(r) for r in (False, True)}
+            self._mesh_prefill = sharded_prefill(cfg, mesh, plan,
+                                                 logits_mode="none",
+                                                 fused=fused)
+            self._scratch_shardings = _tree_shardings(mesh,
+                                                      cache_pspecs(plan))
         self.free_pages = list(range(n_pages - 1, -1, -1))
         # prefix sharing: refs[p] = number of users (slots mapping page p as
         # shared + prefix-cache entries holding it). Pages with refs > 0
@@ -209,6 +254,8 @@ class PagedDecoder:
             scratch = M.KVCache.create(self.cfg, 1, self.kv_dtype)
             if self.device is not None:
                 scratch = jax.device_put(scratch, self.device)
+            elif self.mesh is not None:
+                scratch = jax.device_put(scratch, self._scratch_shardings)
             kd, vd = scratch.k, scratch.v
             for blk in range(sblocks):  # seed the shared prefix rows
                 kd = _copy_page_to_rows(kd, self.pool.k, blk,
@@ -216,11 +263,14 @@ class PagedDecoder:
                 vd = _copy_page_to_rows(vd, self.pool.v, blk,
                                         slot.pages[blk], self.page_rows)
             scratch = M.KVCache(kd, vd)
-            _, scratch = M.prefill(
-                self.cfg, self.weights,
-                jnp.asarray([tokens[hit_rows:n_pre]], jnp.int32),
-                jnp.full((1,), hit_rows, jnp.int32), scratch,
-                logits_mode="none")
+            toks = jnp.asarray([tokens[hit_rows:n_pre]], jnp.int32)
+            p0 = jnp.full((1,), hit_rows, jnp.int32)
+            if self.mesh is not None:
+                _, scratch = self._mesh_prefill(self.weights, toks, p0,
+                                                scratch)
+            else:
+                _, scratch = M.prefill(self.cfg, self.weights, toks, p0,
+                                       scratch, logits_mode="none")
             kpool, vpool = self.pool.k, self.pool.v
             for blk in range(sblocks, -(-n_pre // self.page_rows)):
                 kpool = _copy_rows_to_page(kpool, scratch.k, blk,
@@ -339,9 +389,13 @@ class PagedDecoder:
         pos = jnp.asarray([s.pos for s in self.slots], jnp.int32)
         rolling = bool(any(s.pos + 1 >= self.cfg.seq_len for s in self.slots
                            if s.active))
-        logits, self.pool = paged_decode_step(
-            self.cfg, self.weights, tokens, pos, self.pool,
-            jnp.asarray(self.pt), rolling=rolling)
+        if self.mesh is not None:
+            logits, self.pool = self._mesh_step[rolling](
+                self.weights, tokens, pos, self.pool, jnp.asarray(self.pt))
+        else:
+            logits, self.pool = paged_decode_step(
+                self.cfg, self.weights, tokens, pos, self.pool,
+                jnp.asarray(self.pt), rolling=rolling)
         for s in self.slots:
             if s.active:
                 s.pos += 1

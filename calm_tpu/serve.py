@@ -218,11 +218,13 @@ class Server:
             w = load_weights_sharded(eng.tf, eng.cfg, mesh, plan)
             eng.weights, fused = fuse_weights_sharded(w, eng.cfg, mesh,
                                                       plan)
-            eng.cache = shard_cache(eng.cache, mesh, plan)
-            self._decode_fn = sharded_decode_step(eng.cfg, mesh, plan,
-                                                  fused=fused)
-            self._prefill_slot_fn = sharded_prefill_slot(eng.cfg, mesh,
-                                                         plan, fused=fused)
+            self._fused = fused
+            if not page_rows:
+                eng.cache = shard_cache(eng.cache, mesh, plan)
+                self._decode_fn = sharded_decode_step(eng.cfg, mesh, plan,
+                                                      fused=fused)
+                self._prefill_slot_fn = sharded_prefill_slot(
+                    eng.cfg, mesh, plan, fused=fused)
         # slot ownership: each process admits/samples only its contiguous
         # slot range (all slots on a single process; dp slots split over
         # processes in process order — make_multihost_mesh places dp on DCN)
@@ -240,15 +242,25 @@ class Server:
         self._paged = None
         self._paged_group = False
         if page_rows:
-            assert not self._sharded, \
-                "paged KV composes with dp via dp_devices, not a mesh"
             from calm_tpu.paged import PagedDecoder, PagedGroup
             eng = self.engine
             own = self._own_hi - self._own_lo
             assert self._nproc == 1 or dp_devices, \
                 "multi-process paged serving needs dp_devices"
-            if dp_devices is not None and (len(dp_devices) > 1
-                                           or self._nproc > 1):
+            if self._sharded:
+                # paged pool + compute run tp/ep-SHARDED under the mesh
+                # (dp scale-out composes via dp_devices, not the mesh)
+                assert dp_devices is None and self._nproc == 1
+                assert not device_sampling, \
+                    "mesh-paged serving samples on host (vocab-sharded)"
+                if not pool_pages:
+                    pool_pages = batch * (eng.cfg.seq_len // page_rows)
+                self._paged = PagedDecoder(eng.cfg, eng.weights, pool_pages,
+                                           page_rows, eng._kv_jnp, batch,
+                                           mesh=mesh, plan=plan,
+                                           fused=self._fused)
+            elif dp_devices is not None and (len(dp_devices) > 1
+                                             or self._nproc > 1):
                 assert own % len(dp_devices) == 0, \
                     "local slots must divide over dp devices"
                 per = own // len(dp_devices)

@@ -970,3 +970,36 @@ def test_speculative_gamma_adapts(model_path, tmp_path):
     if acc < 0.4:                                # random draft: shrinks
         assert spec2._gamma_now < 4
     assert 1 <= spec2._gamma_now <= 4
+
+
+def test_paged_server_tp_mesh_parity(model_path, tmp_path):
+    """Paged serving under a tp=2 mesh: the pool shards over KV heads, the
+    decode step runs under shard_map (page table replicated), admission
+    prefills through the sharded path — outputs match the unsharded paged
+    server, for fp16 AND for gf4 with per-shard fused layouts."""
+    from calm_tpu.parallel import ShardingPlan, make_mesh
+
+    prompts = ["hello world", "the quick", "pack my box"]
+
+    def run(path, **kw):
+        srv = Server(path, batch=2, page_rows=16, pool_pages=10, **kw)
+        rs = [srv.submit(p, max_tokens=6, temperature=0.0) for p in prompts]
+        srv.run_until_drained(max_ticks=60)
+        assert all(r.done for r in rs)
+        return srv, [r.text for r in rs]
+
+    _, want = run(model_path, kv_dtype="fp16")
+    mesh = make_mesh(tp=2)
+    srv, got = run(model_path, kv_dtype="fp16", mesh=mesh,
+                   plan=ShardingPlan(tp="tp"))
+    assert srv._paged.mesh is not None
+    assert got == want
+    assert srv._paged.pages_in_use() == 0
+
+    gpath = str(tmp_path / "g.calm")
+    write_tiny_model(gpath, tiny_config(dtype="gf4", seq_len=64), seed=1)
+    _, want_g = run(gpath)
+    srv_g, got_g = run(gpath, mesh=make_mesh(tp=2),
+                       plan=ShardingPlan(tp="tp"))
+    assert srv_g._fused and srv_g.engine.weights.layers.w1 is None
+    assert got_g == want_g
