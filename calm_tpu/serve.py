@@ -288,7 +288,11 @@ class Server:
         # self.prefix_cache stays the single-cache surface otherwise.
         self.prefix_cache = None
         self._prefix_caches = None
-        if prefix_cache_tokens and not self._sharded:
+        # mesh-paged mode CAN share prefixes: pages are pool indices and
+        # the pin/CoW bookkeeping is host-side; the seeding copies are
+        # sharded-array DUS (GSPMD keeps them per-shard-local)
+        if prefix_cache_tokens and (not self._sharded
+                                    or self._paged is not None):
             if self._paged_group:
                 self._prefix_caches = [
                     PrefixCache(prefix_cache_tokens, on_evict=d.unpin_pages)

@@ -1003,3 +1003,29 @@ def test_paged_server_tp_mesh_parity(model_path, tmp_path):
                        plan=ShardingPlan(tp="tp"))
     assert srv_g._fused and srv_g.engine.weights.layers.w1 is None
     assert got_g == want_g
+
+
+def test_paged_tp_mesh_prefix_cache(model_path):
+    """Prefix pinning works in MESH-paged mode: pages are pool indices
+    (host bookkeeping), the seeding copies stay shard-local; the second
+    request hits and the output matches the cache-less mesh-paged run."""
+    from calm_tpu.parallel import ShardingPlan, make_mesh
+
+    sys_prompt = "abcd efgh " * 4
+    plain = Server(model_path, batch=1, kv_dtype="fp16", page_rows=16,
+                   pool_pages=10, mesh=make_mesh(tp=2),
+                   plan=ShardingPlan(tp="tp"))
+    w1 = plain.submit(sys_prompt + "one", max_tokens=6, temperature=0.0)
+    plain.run_until_drained(max_ticks=40)
+    w2 = plain.submit(sys_prompt + "two", max_tokens=6, temperature=0.0)
+    plain.run_until_drained(max_ticks=40)
+
+    srv = Server(model_path, batch=1, kv_dtype="fp16", page_rows=16,
+                 pool_pages=10, mesh=make_mesh(tp=2),
+                 plan=ShardingPlan(tp="tp"), prefix_cache_tokens=4096)
+    r1 = srv.submit(sys_prompt + "one", max_tokens=6, temperature=0.0)
+    srv.run_until_drained(max_ticks=40)
+    r2 = srv.submit(sys_prompt + "two", max_tokens=6, temperature=0.0)
+    srv.run_until_drained(max_ticks=40)
+    assert r2.cached_prefix >= 16 and srv.prefix_cache.hits == 1
+    assert r1.text == w1.text and r2.text == w2.text
