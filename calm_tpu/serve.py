@@ -191,7 +191,8 @@ class Server:
                  prefix_cache_tokens: int = 0,
                  page_rows: int = 0, pool_pages: int = 0,
                  max_pending: int = 0, dp_devices=None,
-                 draft_path: str | None = None, gamma: int = 4):
+                 draft_path: str | None = None, gamma: int = 4,
+                 spec_sampled: bool = False):
         # optional sharded execution: weights/cache placed on the mesh, the
         # decode/prefill steps run under shard_map (continuous batching on a
         # tp/ep-sharded model; scale hosts with jax.distributed + dp shards)
@@ -313,6 +314,10 @@ class Server:
         # window edge; otherwise plain ticks run and the draft cache is
         # stepped alongside to stay in sync.
         self._draft = None
+        self.spec_sampled = spec_sampled  # rejection-sample sampled slots
+        # inside speculative rounds (distributionally exact; draws come
+        # from each slot's own xorshift stream but their COUNT depends on
+        # acceptance, so texts differ from the plain server's by design)
         self.gamma = gamma          # maximum draft depth
         self._gamma_now = gamma     # adaptive: shrinks when the draft
         # misses often (each round costs a g-step draft scan + a (B, g)
@@ -328,6 +333,7 @@ class Server:
             assert (self._draft.cfg.vocab_size
                     == self.engine.cfg.vocab_size), \
                 "draft and target must share the vocabulary"
+            self._spec_key = jax.random.PRNGKey(seed ^ 0x5BD1)
         self.slots = [_Slot() for _ in range(batch)]
         self.pending: deque[Request] = deque()
         self.max_pending = max_pending  # 0 = unbounded
@@ -448,55 +454,122 @@ class Server:
                 pos0=jnp.int32(hit))
 
     def _spec_ready(self) -> bool:
-        """Speculate this tick? Every active request must be greedy (the
-        acceptance rule is argmax-exact) and far enough from the window
-        edge for a full gamma round (the standalone horizon guard,
-        speculative.py)."""
+        """Speculate this tick? Every active request must be greedy —
+        or sampled with ``spec_sampled`` on (per-slot rejection sampling)
+        — and far enough from the window edge for a full gamma round plus
+        the bonus row (the standalone horizon guard, speculative.py)."""
         S = self.engine.cfg.seq_len
         act = [s for s in self.slots if s.active]
-        return bool(act) and all(
-            s.req.temperature == 0.0 and s.pos + self._gamma_now + 1 < S
-            for s in act)
+        if not act:
+            return False
+        for s in act:
+            if s.req.temperature != 0.0 and not self.spec_sampled:
+                return False
+            if s.pos + self._gamma_now + 2 >= S:
+                return False
+        return True
 
     def _tick_speculative(self):
         """One speculative round for the whole batch: draft scan (B, g),
-        ONE target (B, g) verify forward, host acceptance per slot.
-        Emits 1..g target argmaxes per slot; cache rows past a slot's
-        mismatch are stale-but-masked and get overwritten by later writes
-        (same invariant as the standalone loop, speculative.py:133-168)."""
+        ONE target (B, g+1) verify forward, host acceptance per slot.
+
+        Per slot the rule is greedy (longest argmax-matching prefix + the
+        target's correction — only target argmaxes are ever emitted, so
+        output is EXACT) or, for sampled requests under ``spec_sampled``,
+        speculative REJECTION sampling with the slot's own xorshift stream
+        (accept draft token x with prob min(1, p_t(x)/q_d(x)); a rejection
+        resamples from max(p_t - q_d, 0) — distributionally exact,
+        speculative.py:269-300). A fully-accepting slot takes one BONUS
+        token from verify row g. Cache rows past a slot's stop are
+        stale-but-masked and overwritten by later writes."""
+        from calm_tpu.speculative import _minp_probs
         eng, draft, g = self.engine, self._draft, self._gamma_now
         tok = eng.tokenizer
         tokens = jnp.asarray(self._tokens)
         pos = jnp.asarray(self._pos)
-        # 1) draft proposes g greedy tokens per slot (one device scan)
-        d_toks, draft.cache, _ = M.decode_scan(
-            draft.cfg, draft.weights, tokens, pos, draft.cache, g,
-            rolling=False)
+        pos_before = self._pos.copy()
+        sampled_round = any(
+            s.active and s.req.temperature > 0.0
+            for s in self.slots[self._own_lo:self._own_hi])
+        # 1) draft proposes g tokens per slot (one device scan): greedy
+        #    argmaxes, or per-slot min-p draws (parked/greedy slots have
+        #    temp 0 -> argmax) with the per-step logits kept for q_d
+        if sampled_round:
+            self._spec_key, sub = jax.random.split(self._spec_key)
+            d_toks, draft.cache, d_logits = M.decode_scan_sampled(
+                draft.cfg, draft.weights, tokens, pos, draft.cache, g,
+                sub, jnp.asarray(self._temps), jnp.asarray(self._minps),
+                rolling=False)
+            d_logits = np.asarray(d_logits, np.float32)    # (g, B, V)
+        else:
+            d_toks, draft.cache, _ = M.decode_scan(
+                draft.cfg, draft.weights, tokens, pos, draft.cache, g,
+                rolling=False)
+            d_logits = None
         proposal = np.asarray(d_toks)                      # (B, g)
         # 2) the target scores every slot's chain in one forward:
-        #    t_logits[b, i] judges proposal[b, i]
-        verify = np.concatenate([self._tokens[:, None], proposal[:, :-1]],
+        #    row i judges proposal[i]; row g is the bonus distribution
+        verify = np.concatenate([self._tokens[:, None], proposal],
                                 axis=1).astype(np.int32)
         t_logits, eng.cache = M.prefill(
             eng.cfg, eng.weights, jnp.asarray(verify), pos, eng.cache,
             logits_mode="all")
-        t_args = np.asarray(jnp.argmax(t_logits, axis=-1))  # (B, g)
-        # 3) per-slot longest matching prefix + the target's correction
+        t_np = np.asarray(t_logits, np.float32)            # (B, g+1, V)
+        t_args = t_np.argmax(-1)
+        # 3) per-slot acceptance
         now = time.perf_counter()
         self.spec_rounds += 1
         round_match = round_seen = 0
+        full_accept = np.zeros(self.batch, bool)
         for b in range(self._own_lo, self._own_hi):
             slot = self.slots[b]
             if not slot.active:
                 continue
             req = slot.req
-            for i in range(g):
-                nxt = int(t_args[b, i])
-                match = nxt == int(proposal[b, i])
-                self.spec_accepted += int(match)
-                self.spec_emitted += 1
-                round_match += int(match)
-                round_seen += 1
+            emitted: list[int] = []
+            n_match = 0
+            if req.temperature == 0.0:
+                for i in range(g):
+                    nxt = int(t_args[b, i])
+                    emitted.append(nxt)
+                    if nxt != int(proposal[b, i]):
+                        break
+                    n_match += 1
+                else:
+                    emitted.append(int(t_args[b, g]))      # bonus
+            else:
+                rng = slot.sampler.rng
+                for i in range(g):
+                    p = _minp_probs(t_np[b, i], req.temperature, req.minp)
+                    q = _minp_probs(d_logits[i, b], req.temperature,
+                                    req.minp)
+                    x = int(proposal[b, i])
+                    if q[x] > 0 and rng.next_f32() < min(
+                            1.0, float(p[x] / q[x])):
+                        emitted.append(x)
+                        n_match += 1
+                        continue
+                    resid = np.maximum(p - q, 0.0)
+                    s = resid.sum(dtype=np.float32)
+                    if s <= 0:
+                        resid, s = p, p.sum(dtype=np.float32)
+                    r = rng.next_f32() * s
+                    emitted.append(int(min(
+                        np.searchsorted(np.cumsum(resid), r),
+                        len(resid) - 1)))
+                    break
+                else:
+                    p = _minp_probs(t_np[b, g], req.temperature, req.minp)
+                    r = rng.next_f32()
+                    emitted.append(int(min(
+                        np.searchsorted(np.cumsum(p), r * p.sum()),
+                        len(p) - 1)))
+            full_accept[b] = n_match == g
+            self.spec_accepted += n_match
+            self.spec_emitted += min(len(emitted), g)
+            round_match += n_match
+            round_seen += min(len(emitted), g)
+            for nxt in emitted:
                 if req.n_generated == 0:
                     req.first_token_at = now
                 slot.pos += 1
@@ -513,8 +586,16 @@ class Server:
                 slot.token = nxt
                 self._tokens[b] = nxt
                 self._pos[b] = slot.pos
-                if not match:
-                    break  # target corrected the draft: round over
+        # 4) backfill the draft rows the scan never wrote: a full-accepting
+        #    slot's proposal[-1] row at p0+g would stay a hole forever
+        #    (speculative.py:302-311); other slots re-write their CURRENT
+        #    token at its own position — idempotent with the next round
+        if full_accept.any():
+            bf_tok = np.where(full_accept, proposal[:, -1], self._tokens)
+            bf_pos = np.where(full_accept, pos_before + g, self._pos)
+            _, draft.cache = M.decode_step(
+                draft.cfg, draft.weights, jnp.asarray(bf_tok, jnp.int32),
+                jnp.asarray(bf_pos, jnp.int32), draft.cache, rolling=False)
         # adapt the draft depth to the observed acceptance (each distinct
         # depth compiles one draft-scan program; the set is bounded by
         # [1, gamma])

@@ -1029,3 +1029,30 @@ def test_paged_tp_mesh_prefix_cache(model_path):
     srv.run_until_drained(max_ticks=40)
     assert r2.cached_prefix >= 16 and srv.prefix_cache.hits == 1
     assert r1.text == w1.text and r2.text == w2.text
+
+
+def test_speculative_server_sampled_mode(model_path):
+    """spec_sampled=True rejection-samples sampled requests inside
+    speculative rounds: runs to completion, is deterministic across
+    identical runs, and a perfect draft (target itself) accepts every
+    proposal. Greedy requests in the same server stay EXACT."""
+    def run():
+        srv = Server(model_path, batch=2, kv_dtype="fp16",
+                     draft_path=model_path, gamma=3, spec_sampled=True)
+        s = srv.submit("the quick", max_tokens=10, temperature=0.8, seed=5)
+        gr = srv.submit("hello world", max_tokens=10, temperature=0.0)
+        srv.run_until_drained(max_ticks=80)
+        assert s.done and gr.done
+        return srv, s.text, gr.text
+
+    srv1, s1, g1 = run()
+    srv2, s2, g2 = run()
+    assert s1 == s2 and g1 == g2          # deterministic given seeds
+    assert srv1.spec_rounds > 0
+    # perfect draft: p == q, acceptance prob 1 for every examined position
+    assert srv1.spec_accepted == srv1.spec_emitted
+
+    plain = Server(model_path, batch=2, kv_dtype="fp16")
+    w = plain.submit("hello world", max_tokens=10, temperature=0.0)
+    plain.run_until_drained(max_ticks=40)
+    assert g1 == w.text                   # greedy exactness holds
