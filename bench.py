@@ -16,10 +16,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
+
+if os.environ.get("CALM_CPU", "0") == "1":
+    # debug/CI hook, same as the CLI: the axon plugin ignores
+    # JAX_PLATFORMS, force via config BEFORE any backend init
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from calm_tpu.config import ModelConfig
