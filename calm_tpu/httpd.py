@@ -32,17 +32,24 @@ from calm_tpu.serve import QueueFull, Server
 class _Scheduler(threading.Thread):
     """Owns the device: ticks the Server whenever work is pending."""
 
-    def __init__(self, server: Server, default_timeout_s: float = 0.0):
+    def __init__(self, server: Server, default_timeout_s: float = 0.0,
+                 access_log=None):
         super().__init__(daemon=True)
         self.server = server
         self.default_timeout_s = default_timeout_s
+        self.access_log = access_log  # callable(dict) per finished request
         self.lock = threading.Lock()  # guards submit/cancel vs tick
         self.wake = threading.Event()
         self.running = True
+        self.draining = False  # graceful shutdown: reject new, finish live
 
     def submit(self, prompt: str, **kw):
+        if self.draining:
+            raise RuntimeError("draining")
         with self.lock:
             req = self.server.submit(prompt, **kw)  # may raise QueueFull
+        if self.access_log is not None:
+            req.on_piece = _log_chain(req, self.access_log, req.on_piece)
         self.wake.set()
         return req
 
@@ -58,12 +65,46 @@ class _Scheduler(threading.Thread):
                 if busy:
                     self.server.tick()
             if not busy:
+                if self.draining:
+                    break
                 self.wake.wait(timeout=0.05)
                 self.wake.clear()
+        self.running = False
 
     def stop(self):
         self.running = False
         self.wake.set()
+
+    def drain(self, timeout_s: float = 60.0):
+        """Graceful shutdown: stop admitting (handlers return 503), let the
+        live batch finish, then stop the tick loop. Returns True if fully
+        drained within the timeout."""
+        self.draining = True
+        self.wake.set()
+        self.join(timeout=timeout_s)
+        done = not self.is_alive()
+        self.stop()
+        return done
+
+
+def _log_chain(req, log, inner):
+    """Wrap a request's on_piece so the terminal sentinel emits one access
+    -log record (JSONL: rid, generated, ttft/total ms, terminal state)."""
+    def hook(piece):
+        if inner is not None:
+            inner(piece)
+        if piece is None:
+            ttft = ((req.first_token_at - req.submitted_at) * 1e3
+                    if req.first_token_at else None)
+            log({"rid": req.rid, "tokens": req.n_generated,
+                 "ttft_ms": None if ttft is None else round(ttft, 1),
+                 "total_ms": round(
+                     (req.finished_at - req.submitted_at) * 1e3, 1),
+                 "cached_prefix": req.cached_prefix,
+                 "state": ("cancelled" if req.cancelled else
+                           "timeout" if req.timed_out else
+                           "out_of_pages" if req.out_of_pages else "ok")})
+    return hook
 
 
 def make_handler(sched: _Scheduler):
@@ -152,6 +193,9 @@ def make_handler(sched: _Scheduler):
                 self.end_headers()
                 self.wfile.write(body)
                 return
+            except RuntimeError:
+                self._json(503, {"error": "server draining"})
+                return
 
             if body.get("stream"):
                 self.send_response(200)
@@ -198,10 +242,10 @@ def make_handler(sched: _Scheduler):
 
 
 def serve_http(server: Server, host: str = "127.0.0.1", port: int = 8000,
-               default_timeout_s: float = 0.0):
+               default_timeout_s: float = 0.0, access_log=None):
     """Blocking HTTP loop; returns the (httpd, scheduler) pair when used
     programmatically (tests run it on port 0 in a thread)."""
-    sched = _Scheduler(server, default_timeout_s)
+    sched = _Scheduler(server, default_timeout_s, access_log=access_log)
     sched.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(sched))
     httpd.scheduler = sched
@@ -236,6 +280,10 @@ def main(argv=None):
                          "request is greedy)")
     ap.add_argument("--gamma", type=int, default=4,
                     help="speculative draft length per round")
+    ap.add_argument("--drain-s", type=float, default=60.0,
+                    help="graceful-shutdown drain window (SIGTERM)")
+    ap.add_argument("--access-log", action="store_true",
+                    help="JSONL per-request record on stderr at completion")
     args = ap.parse_args(argv)
 
     dp_devices = None
@@ -250,14 +298,31 @@ def main(argv=None):
                     max_pending=args.max_pending, dp_devices=dp_devices,
                     draft_path=args.draft, gamma=args.gamma)
     print(server.engine.banner())
+    log = None
+    if args.access_log:
+        import sys as _sys
+
+        def log(rec):
+            print(json.dumps(rec), file=_sys.stderr, flush=True)
+
     httpd = serve_http(server, args.host, args.port,
-                       default_timeout_s=args.timeout_s)
+                       default_timeout_s=args.timeout_s, access_log=log)
     print(f"# serving on http://{args.host}:{httpd.server_address[1]} "
           f"({args.batch} slots)")
+
+    import signal
+
+    def _term(signum, frame):
+        # graceful: reject new requests (503), finish the live batch
+        print("# draining...", file=__import__("sys").stderr)
+        httpd.scheduler.drain(timeout_s=args.drain_s)
+        httpd.shutdown()
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:
-        httpd.scheduler.stop()
+        httpd.scheduler.drain(timeout_s=args.drain_s)
 
 
 if __name__ == "__main__":

@@ -1056,3 +1056,43 @@ def test_speculative_server_sampled_mode(model_path):
     w = plain.submit("hello world", max_tokens=10, temperature=0.0)
     plain.run_until_drained(max_ticks=40)
     assert g1 == w.text                   # greedy exactness holds
+
+
+def test_http_drain_and_access_log(model_path):
+    """Graceful drain: finished requests emit one access-log record; after
+    drain() new generates get 503 and the scheduler thread exits."""
+    import json
+    import threading
+    import urllib.request
+    import urllib.error
+
+    from calm_tpu.httpd import serve_http
+
+    records = []
+    srv = Server(model_path, batch=1, kv_dtype="fp16")
+    httpd = serve_http(srv, port=0, access_log=records.append)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        body = json.dumps({"prompt": "AB", "max_tokens": 4,
+                           "temperature": 0.0}).encode()
+        req = urllib.request.Request(
+            f"{base}/v1/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert json.load(r)["tokens"] >= 1
+        assert len(records) == 1
+        assert records[0]["state"] == "ok" and records[0]["tokens"] >= 1
+        assert records[0]["total_ms"] >= records[0]["ttft_ms"] > 0
+
+        assert httpd.scheduler.drain(timeout_s=30)
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 503 while draining"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+        assert not httpd.scheduler.is_alive()
+    finally:
+        httpd.shutdown()
+        httpd.scheduler.stop()
