@@ -1096,3 +1096,54 @@ def test_http_drain_and_access_log(model_path):
     finally:
         httpd.shutdown()
         httpd.scheduler.stop()
+
+
+def test_speculative_server_soak(model_path):
+    """Kitchen-sink soak: speculation + prefix cache + mixed temperatures
+    + cancellations + tiny deadlines under random load. Every request must
+    reach a terminal state with consistent bookkeeping; greedy slots never
+    emit non-target tokens (spot-checked against a plain server)."""
+    import random
+
+    rnd = random.Random(3)
+    srv = Server(model_path, batch=2, kv_dtype="fp16",
+                 draft_path=model_path, gamma=3, spec_sampled=True,
+                 prefix_cache_tokens=2048)
+    prefixes = ["abcd efgh ijkl mnop ", "wxyz stuv "]
+    live = []
+    for i in range(25):
+        p = rnd.choice(prefixes) + f"x{i}"
+        temp = rnd.choice([0.0, 0.0, 0.8])
+        kw = dict(max_tokens=rnd.randint(1, 20), temperature=temp,
+                  seed=i)
+        if rnd.random() < 0.15:
+            kw["timeout_s"] = 0.001  # immediate deadline
+        r = srv.submit(p, **kw)
+        live.append((p, r))
+        for _ in range(rnd.randint(0, 5)):
+            srv.tick()
+        if rnd.random() < 0.2 and not r.done:
+            srv.cancel(r)
+    srv.run_until_drained(max_ticks=600)
+    assert all(r.done for _, r in live)
+    for _, r in live:
+        assert r.n_generated <= r.max_tokens
+        assert r.finished_at >= r.submitted_at
+    assert srv.spec_rounds > 0
+    assert 0 <= srv.spec_accepted <= srv.spec_emitted
+
+    # greedy exactness spot check: clean greedy requests reproduce on a
+    # plain server text-for-text (speculation never emits non-argmaxes)
+    plain = Server(model_path, batch=1, kv_dtype="fp16")
+    checked = 0
+    for (p, r) in live:
+        if (r.cancelled or r.timed_out or r.temperature != 0.0
+                or r.n_generated < r.max_tokens):
+            continue
+        w = plain.submit(p, max_tokens=r.max_tokens, temperature=0.0)
+        plain.run_until_drained(max_ticks=80)
+        assert r.text == w.text, p
+        checked += 1
+        if checked == 3:
+            break
+    assert checked > 0
