@@ -280,6 +280,9 @@ def main(argv=None):
                          "request is greedy)")
     ap.add_argument("--gamma", type=int, default=4,
                     help="speculative draft length per round")
+    ap.add_argument("--spec-sampled", action="store_true",
+                    help="rejection-sample sampled requests inside "
+                         "speculative rounds (distributionally exact)")
     ap.add_argument("--drain-s", type=float, default=60.0,
                     help="graceful-shutdown drain window (SIGTERM)")
     ap.add_argument("--access-log", action="store_true",
@@ -296,7 +299,8 @@ def main(argv=None):
                     prefix_cache_tokens=args.prefix_cache_tokens,
                     page_rows=args.page_rows, pool_pages=args.pool_pages,
                     max_pending=args.max_pending, dp_devices=dp_devices,
-                    draft_path=args.draft, gamma=args.gamma)
+                    draft_path=args.draft, gamma=args.gamma,
+                    spec_sampled=args.spec_sampled)
     print(server.engine.banner())
     log = None
     if args.access_log:
