@@ -505,3 +505,125 @@ def test_convert_fp8e4(tmp_path):
     # 8-bit weights: loose elementwise, tight argmax agreement
     assert (got.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.9
     np.testing.assert_allclose(got, hf_logits, rtol=0.5, atol=0.5)
+
+
+def test_convert_minicpm(tmp_path):
+    """MiniCPM (mu-p scaling folds): the converter folds scale_emb into the
+    embeddings, scale_depth/sqrt(L) into both residual projections, and
+    dim_model_base/hidden (over the tied embed scale) into the final norm,
+    so the engine stays scale-free. Validated EXACTLY against a llama
+    forward on pre-folded weights — identical semantics because rmsnorm is
+    scale-invariant, so folding the scales into the linear maps reproduces
+    MiniCPM's h = h + rs*branch / logit-scaled head token-for-token."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    D, I, L = 48, 64, 2
+    s_emb, s_depth, dmb = 12.0, 1.4, 32
+    rs = s_depth / (L ** 0.5)
+    final = dmb / D
+    lcfg = LlamaConfig(hidden_size=D, intermediate_size=I,
+                       num_hidden_layers=L, num_attention_heads=4,
+                       num_key_value_heads=2, vocab_size=268,
+                       max_position_embeddings=128, rms_norm_eps=1e-5,
+                       rope_theta=10000.0, bos_token_id=1, eos_token_id=2,
+                       tie_word_embeddings=True, attention_bias=False)
+    torch.manual_seed(31)
+    raw_model = LlamaForCausalLM(lcfg).eval()
+    sd = {k: v.detach().float().numpy().copy()
+          for k, v in raw_model.state_dict().items()
+          if "inv_freq" not in k and k != "lm_head.weight"}
+
+    # expectation: llama on FOLDED weights == minicpm on the raw weights
+    folded = LlamaForCausalLM(lcfg).eval()
+    folded.load_state_dict(raw_model.state_dict(), strict=False)
+    with torch.no_grad():
+        folded.model.embed_tokens.weight.mul_(s_emb)  # tied head follows
+        for l in range(L):
+            folded.model.layers[l].self_attn.o_proj.weight.mul_(rs)
+            folded.model.layers[l].mlp.down_proj.weight.mul_(rs)
+        folded.model.norm.weight.mul_(final / s_emb)
+
+    from calm_tpu import container as C
+    d = tmp_path
+    C.write_tensors(str(d / "model.safetensors"), sd, {})
+    cfg_json = {"architectures": ["MiniCPMForCausalLM"], "hidden_size": D,
+                "intermediate_size": I, "num_hidden_layers": L,
+                "num_attention_heads": 4, "num_key_value_heads": 2,
+                "vocab_size": 268, "max_position_embeddings": 128,
+                "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+                "bos_token_id": 1, "eos_token_id": 2, "hidden_act": "silu",
+                "scale_emb": s_emb, "scale_depth": s_depth,
+                "dim_model_base": dmb, "tie_word_embeddings": True}
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg_json, f)
+    _mini_tokenizer_json(d, 268)
+
+    out = str(d / "model.calm")
+    convert_mod.main([out, str(d), "--dtype", "fp16"])
+
+    tokens = [1, 10, 25, 199, 42]
+    with torch.no_grad():
+        hf_logits = folded(torch.tensor([tokens])).logits[0].numpy()
+
+    import jax.numpy as jnp
+    from calm_tpu import model as M
+    from calm_tpu.engine import Engine
+    eng = Engine(out, context=32, kv_dtype="fp16")
+    logits, _ = M.prefill(eng.cfg, eng.weights,
+                          jnp.asarray([tokens], jnp.int32),
+                          jnp.zeros((1,), jnp.int32), eng.cache,
+                          logits_mode="all")
+    got = np.asarray(logits[0], np.float32)
+    np.testing.assert_allclose(got, hf_logits, rtol=5e-2, atol=5e-2)
+    assert (got.argmax(-1) == hf_logits.argmax(-1)).mean() > 0.95
+
+
+def test_convert_xverse(tmp_path):
+    """Xverse is a pure arch-name remap onto the llama weight schema —
+    converts and matches the HF llama forward (completes 13/13 converter
+    classes under test)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    lcfg = LlamaConfig(hidden_size=48, intermediate_size=64,
+                       num_hidden_layers=2, num_attention_heads=4,
+                       num_key_value_heads=4, vocab_size=268,
+                       max_position_embeddings=128, rms_norm_eps=1e-5,
+                       rope_theta=10000.0, bos_token_id=1, eos_token_id=2,
+                       tie_word_embeddings=False, attention_bias=False)
+    torch.manual_seed(17)
+    model = LlamaForCausalLM(lcfg).eval()
+    sd = {k: v.detach().float().numpy()
+          for k, v in model.state_dict().items() if "inv_freq" not in k}
+
+    from calm_tpu import container as C
+    d = tmp_path
+    C.write_tensors(str(d / "model.safetensors"), sd, {})
+    cfg_json = {"architectures": ["XverseForCausalLM"], "hidden_size": 48,
+                "intermediate_size": 64, "num_hidden_layers": 2,
+                "num_attention_heads": 4, "num_key_value_heads": 4,
+                "vocab_size": 268, "max_position_embeddings": 128,
+                "rms_norm_eps": 1e-5, "rope_theta": 10000.0,
+                "bos_token_id": 1, "eos_token_id": 2, "hidden_act": "silu"}
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg_json, f)
+    _mini_tokenizer_json(d, 268)
+
+    out = str(d / "model.calm")
+    convert_mod.main([out, str(d), "--dtype", "fp16"])
+
+    tokens = [1, 10, 25, 199, 42]
+    with torch.no_grad():
+        hf_logits = model(torch.tensor([tokens])).logits[0].numpy()
+
+    import jax.numpy as jnp
+    from calm_tpu import model as M
+    from calm_tpu.engine import Engine
+    eng = Engine(out, context=32, kv_dtype="fp16")
+    logits, _ = M.prefill(eng.cfg, eng.weights,
+                          jnp.asarray([tokens], jnp.int32),
+                          jnp.zeros((1,), jnp.int32), eng.cache,
+                          logits_mode="all")
+    got = np.asarray(logits[0], np.float32)
+    np.testing.assert_allclose(got, hf_logits, rtol=5e-2, atol=5e-2)
