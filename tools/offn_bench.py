@@ -6,6 +6,10 @@ import sys
 import time
 
 import jax
+
+import os as _os
+if _os.environ.get("CALM_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 

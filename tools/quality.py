@@ -21,6 +21,12 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax  # noqa: E402
+
+if os.environ.get("CALM_CPU", "0") == "1":
+    # the axon plugin ignores JAX_PLATFORMS; force via config pre-init
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 from calm_tpu import quant  # noqa: E402
