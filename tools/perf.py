@@ -21,6 +21,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax  # noqa: E402
+
+if os.environ.get("CALM_CPU", "0") == "1":
+    # the axon plugin ignores JAX_PLATFORMS; force pre-init
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
