@@ -504,3 +504,34 @@ def test_gf4_prefill_kernel_in_model(rng):
     np.testing.assert_allclose(np.asarray(cg.k, np.float32),
                                np.asarray(cw.k, np.float32),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_gf4_prefill_matmul_tpu_interpret(rng):
+    """The row-blocked prefill kernels under the STRICT multi-core TPU
+    interpreter (models Mosaic memory spaces, grid revisiting, and scratch
+    persistence — the decode-once plane-scratch pattern's failure class
+    that the plain interpreter cannot see)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    prev = pallas_qmm._INTERPRET
+    pallas_qmm._INTERPRET = pltpu.InterpretParams()
+    try:
+        d, n = 384, 256
+        qt, _ = make_qt(rng, d, n, "gf4")
+        x = rng.standard_normal((100, n)).astype(np.float32)
+        want = x @ np.asarray(qmm.dequant(qt)).T
+        got = np.asarray(pallas_qmm.qmm_prefill(jnp.asarray(x), qt.data))
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+        D, H, rows = 256, 384, 48
+        w2, _ = make_qt(rng, D, H, "gf4")
+        words = jnp.asarray(np.asarray(w2.data).T[None])  # (1, H/8, D)
+        h_nat = rng.standard_normal((rows, H)).astype(np.float32)
+        h_perm = (h_nat.reshape(rows, H // 8, 8).transpose(0, 2, 1)
+                  .reshape(rows, H))
+        want2 = h_nat @ np.asarray(qmm.dequant(w2)).T
+        got2 = np.asarray(pallas_qmm.qmm_prefill_t(
+            jnp.asarray(h_perm), words, jnp.int32(0)))
+        np.testing.assert_allclose(got2, want2, rtol=3e-2, atol=3e-2)
+    finally:
+        pallas_qmm._INTERPRET = prev
