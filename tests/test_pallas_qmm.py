@@ -535,3 +535,44 @@ def test_gf4_prefill_matmul_tpu_interpret(rng):
         np.testing.assert_allclose(got2, want2, rtol=3e-2, atol=3e-2)
     finally:
         pallas_qmm._INTERPRET = prev
+
+
+@pytest.mark.parametrize("moe", [False, True])
+def test_gf4_fused_decode_tpu_interpret(rng, moe):
+    """The whole fused gf4 decode layer (qkv + flash attention + offn or
+    MoE sweep) under the STRICT multi-core TPU interpreter — covers the
+    VMEM-scratch / revisiting / memory-space failure class for every hot
+    kernel at once."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from calm_tpu import model as M
+    from calm_tpu.config import ModelConfig
+    from calm_tpu.ops import pallas_attn
+    from calm_tpu.utils.synth import synth_weights
+
+    cfg = ModelConfig(dim=128, hidden_dim=256, head_dim=32, n_layers=2,
+                      n_heads=4, n_kv_heads=2, vocab_size=256, seq_len=32,
+                      rope_theta=10000.0, rotary_dim=32, norm_ln=False,
+                      dtype="gf4",
+                      n_experts=4 if moe else 0,
+                      n_experts_ac=2 if moe else 0)
+    w = synth_weights(cfg)
+    tok = jnp.zeros((1,), jnp.int32)
+    pos = jnp.zeros((1,), jnp.int32)
+    cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+    want, _ = M.decode_step_fn(cfg, w, tok, pos, cache)
+
+    wf = M.fuse_gf4_weights(w, cfg)
+    prev_q, prev_a = pallas_qmm._INTERPRET, pallas_attn._INTERPRET
+    pallas_qmm._INTERPRET = pltpu.InterpretParams()
+    pallas_attn._INTERPRET = pltpu.InterpretParams()
+    qmm.enable_pallas(True)
+    try:
+        cache = M.KVCache.create(cfg, 1, jnp.bfloat16)
+        got, _ = M.decode_step_fn(cfg, wf, tok, pos, cache)
+    finally:
+        qmm.enable_pallas(False)
+        pallas_qmm._INTERPRET = prev_q
+        pallas_attn._INTERPRET = prev_a
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-2, atol=5e-2)
