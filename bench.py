@@ -160,12 +160,13 @@ def main(argv=None):
     print(f"# chip: {topo.device_kind} (SoL {topo.hbm_gbps_per_chip} GB/s); "
           f"model {args.model} {args.dtype} ({total_bytes / 2**30:.1f} GiB)",
           file=sys.stderr)
-    # a pure-DMA Pallas kernel measures 645-695 GB/s on v5e
-    # (docs/PERF_NOTES.md) — the physically attainable ceiling. The nominal
-    # 819 GB/s is NOT reachable by any program on this chip; report both so
-    # the headline (nominal, reference-comparable) can be read against what
-    # the silicon actually delivers.
-    attainable = 690.0 if topo.device_kind == "TPU v5 lite" else None
+    # attainable ceiling, round-4 re-derivation (tools/dma_ceiling.py): a
+    # pure-DMA Pallas kernel streaming a MODEL-SIZED (3.2 GB) buffer
+    # measures ~733 GB/s on v5e; small hot buffers reach 758-878. The old
+    # 690 figure (one 32 MB shape) understated the silicon — report the
+    # model-stream number so the headline gap is honest (docs/PERF_NOTES.md
+    # "Chip reality", VERDICT r3 weak #1).
+    attainable = 733.0 if topo.device_kind == "TPU v5 lite" else None
     if attainable:
         print(f"# vs measured-attainable ceiling (~{attainable:.0f} GB/s): "
               f"{100.0 * gb_s / attainable:.1f}%", file=sys.stderr)
