@@ -805,7 +805,7 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
 
 def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
            kv_len, kv_dtype, rolling: bool, rope, plan: ShardingPlan,
-           batch_off=None, pt=None, planed: bool = False):
+           batch_off=None, pt=None, planed: bool = False, qkv_in=None):
     """One transformer layer on a (B, T, D) activation wave.
 
     ``planed`` (gf4 offn tier, decode T==1 only): x is the plane-permuted
@@ -838,7 +838,11 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         return jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
 
     qkv = None
-    if planed:
+    if planed and qkv_in is not None:
+        # rotated fusion boundary: the PREVIOUS layer's offn_qkv call
+        # already projected this layer's qkv (gf4_offn_qkv) — consume it
+        qkv = qkv_in.reshape(B, 1, q_local + 2 * kv_local)
+    elif planed:
         from calm_tpu.ops import pallas_qmm
         # norm on the permuted flat vector (rms/mean are permutation-
         # invariant; weights pre-permuted to match) feeds the fused qkv
@@ -1007,12 +1011,23 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         # 193 GB/s vs the fused FFN's 444 — docs/PERF_NOTES.md)
         a_pl = (att.reshape(B, q_local // 8, 8).transpose(0, 2, 1)
                 .astype(jnp.float32))
+        fresh_out = ((kh[0, :, :, 0, :], vh[0, :, :, 0, :])
+                     if defer else None)
+        if qkv_in is not None:
+            # rotated boundary: one call does offn AND the next layer's
+            # attn-norm + qkv projection (weight DMA hidden under the
+            # FFN decode — see pallas_qmm.gf4_offn_qkv)
+            L = lw.an_pl.shape[0]
+            x, qkv_next = pallas_qmm.gf4_offn_qkv(
+                a_pl, x, lw.fn_pl, lw.an_pl.reshape(L, 8, D // 8),
+                lw.wo_p, lw.w1p, lw.w3p, lw.w2tp, lw.wqkv, layer,
+                cfg.act_gelu, cfg.norm_eps, cfg.norm_ln)
+            return x, kc, vc, fresh_out, qkv_next
         ffn, r1 = pallas_qmm.gf4_offn(
             a_pl, x, lw.fn_pl, lw.wo_p, lw.w1p, lw.w3p, lw.w2tp, layer,
             cfg.act_gelu, cfg.norm_eps, cfg.norm_ln)
         x = r1 + ffn.reshape(B, 8, D // 8)
-        return x, kc, vc, ((kh[0, :, :, 0, :], vh[0, :, :, 0, :])
-                           if defer else None)
+        return x, kc, vc, fresh_out, None
 
     if lw.wo is not None:
         wo_out = qmatmul(att, lw.wo, layer=layer, stage="wo")
@@ -1056,7 +1071,7 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
     # deferred mode: hand the fresh rows (B, KVH, hd) up for the post-scan
     # batched cache write
     return x, kc, vc, ((kh[0, :, :, 0, :], vh[0, :, :, 0, :])
-                       if defer else None)
+                       if defer else None), None
 
 
 LAYER_UNROLL = 1  # lax.scan unroll factor over layers. MEASURED on v5e:
@@ -1094,24 +1109,56 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
                   and pallas_qmm.gf4_offn_supported(
                       (B, 8, q_local // 8), (B, 8, D // 8),
                       lw.wo_p, lw.w1p, lw.w2tp))
+    qkv0 = None
     if planed:
         # carry the residual plane-permuted across the whole layer scan
         # (one 16 KB transpose in, one out — per step, not per layer)
         x = x.reshape(B, D // 8, 8).transpose(0, 2, 1)
+        import os as _os
+        rot = _os.environ.get("CALM_ROT", "0") == "1"
+        # rotated fusion boundary is EXPERIMENTAL (CALM_ROT=1): on hw the
+        # merged kernel runs at 215 GB/s vs 374 for the separate pair —
+        # the 5th weight stream appears to defeat Mosaic's input pipeline
+        # (docs/PERF_NOTES.md round-4) — keep off until that's solved
+        if (rot and lw.an_pl is not None
+                and n_layers == lw.wqkv.shape[0]):
+            # rotated fusion boundary: prime the carry with layer 0's
+            # qkv; every later layer's arrives from its predecessor's
+            # offn_qkv call (pallas_qmm.gf4_offn_qkv)
+            from calm_tpu.ops import pallas_qmm
+            xb0 = _norm(cfg, x.reshape(B, D),
+                        jax.lax.dynamic_index_in_dim(lw.an_pl, 0, 0,
+                                                     keepdims=False))
+            qkv0 = pallas_qmm.qmm_decode(
+                xb0.reshape(B, 8, D // 8), lw.wqkv, "gf4", jnp.int32(0),
+                pre_planed=True, stage="wqkv")
 
     def body(carry, layer):
+        if qkv0 is not None:
+            x, qkv_c, kc, vc = carry
+            x, kc, vc, fresh, qkv_n = _layer(
+                cfg, x, w.layers, layer, kc, vc, pos, kv_pos, kv_len,
+                kv_dtype, rolling, rope, plan, batch_off, pt,
+                planed=planed, qkv_in=qkv_c)
+            return (x, qkv_n, kc, vc), fresh
         x, kc, vc = carry
-        x, kc, vc, fresh = _layer(cfg, x, w.layers, layer, kc, vc, pos,
-                                  kv_pos, kv_len, kv_dtype, rolling, rope,
-                                  plan, batch_off, pt, planed=planed)
+        x, kc, vc, fresh, _ = _layer(cfg, x, w.layers, layer, kc, vc, pos,
+                                     kv_pos, kv_len, kv_dtype, rolling,
+                                     rope, plan, batch_off, pt,
+                                     planed=planed)
         return (x, kc, vc), fresh
 
     unroll = min(LAYER_UNROLL, n_layers)
     if n_layers % unroll:
         unroll = 1
-    (x, k_new, v_new), fresh = jax.lax.scan(
-        body, (x, cache.k, cache.v),
-        jnp.arange(n_layers, dtype=jnp.int32), unroll=unroll)
+    if qkv0 is not None:
+        (x, _, k_new, v_new), fresh = jax.lax.scan(
+            body, (x, qkv0, cache.k, cache.v),
+            jnp.arange(n_layers, dtype=jnp.int32), unroll=unroll)
+    else:
+        (x, k_new, v_new), fresh = jax.lax.scan(
+            body, (x, cache.k, cache.v),
+            jnp.arange(n_layers, dtype=jnp.int32), unroll=unroll)
     if planed:
         x = x.transpose(0, 2, 1).reshape(B, T, D)
 

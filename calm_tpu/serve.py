@@ -347,6 +347,8 @@ class Server:
         self._minps = np.ones(batch, np.float32)
         if device_sampling:
             self._key = jax.random.PRNGKey(seed)
+        self._last_tick_at = time.monotonic()  # watchdog liveness stamp
+        self._wd_thread = None
 
     # -- client api ---------------------------------------------------------
 
@@ -414,6 +416,62 @@ class Server:
             is_dead, to = dead(slot.req)
             if is_dead:
                 self._finish(slot.req, b, now, timed_out=to)
+
+    # -- liveness watchdog ----------------------------------------------------
+
+    def watchdog_start(self, stall_s: float = 60.0,
+                       on_stall: Callable[[float], None] | None = None,
+                       poll_s: float | None = None):
+        """Start a liveness watchdog: if requests are in flight but no
+        tick() has COMPLETED within ``stall_s`` (hung collective, wedged
+        device, deadlocked scheduler), ``on_stall(age_seconds)`` fires
+        (default: stderr diagnostic). Complements parallel.mesh.health_check
+        (init-time fail-fast; this is runtime liveness — the reference's
+        failure model is abort-on-error only, SURVEY §5). Idempotent;
+        stop with watchdog_stop()."""
+        import sys
+
+        if getattr(self, "_wd_thread", None) is not None:
+            return
+        self._wd_stop = threading.Event()
+        self._wd_fired = 0
+
+        def _default(age: float):
+            print(f"# watchdog: serving loop stalled for {age:.1f}s "
+                  f"({sum(1 for s in self.slots if s.active)} active slots, "
+                  f"{len(self.pending)} pending)", file=sys.stderr)
+
+        cb = on_stall or _default
+        poll = poll_s if poll_s is not None else max(stall_s / 4, 0.01)
+
+        def _loop():
+            while not self._wd_stop.wait(poll):
+                busy = bool(self.pending) or any(
+                    s.active
+                    for s in self.slots[self._own_lo:self._own_hi])
+                if not busy:
+                    continue
+                age = time.monotonic() - self._last_tick_at
+                if age >= stall_s:
+                    self._wd_fired += 1
+                    try:
+                        cb(age)
+                    except Exception:
+                        pass
+                    # re-arm: don't spin the callback every poll
+                    self._last_tick_at = time.monotonic()
+
+        self._last_tick_at = time.monotonic()
+        self._wd_thread = threading.Thread(target=_loop, daemon=True,
+                                           name="calm-serve-watchdog")
+        self._wd_thread.start()
+
+    def watchdog_stop(self):
+        t = getattr(self, "_wd_thread", None)
+        if t is not None:
+            self._wd_stop.set()
+            t.join(timeout=5)
+            self._wd_thread = None
 
     def run_until_drained(self, max_ticks: int | None = None):
         ticks = 0
@@ -775,6 +833,12 @@ class Server:
         """One scheduler tick: admit new requests, one decode step for all.
         Under multi-process dp every process must call tick() in lockstep
         (run_until_drained does)."""
+        try:
+            return self._tick()
+        finally:
+            self._last_tick_at = time.monotonic()  # watchdog liveness stamp
+
+    def _tick(self):
         self._sweep()
         self._admit()
         active = any(s.active

@@ -283,3 +283,63 @@ def test_generate_across_window_edge(tmp_path):
         token = nxt
     assert fast.tokens == pos
     assert fast.logits_hash == M.logits_hash(logits)
+
+
+def test_restart_determinism(tmp_path):
+    """Failure-recovery contract: kill a generation midway, rebuild the
+    engine from the container (fresh process state), replay the prompt +
+    already-emitted tokens via prefill, and the continuation must produce
+    the exact same tokens and final logits as the uninterrupted run.
+    Weights are immutable on disk and decode state is derived, so restart
+    is deterministic by construction — this pins it (SURVEY §5
+    failure-detection: the reference aborts-on-error; a multi-host serving
+    engine must also restart reproducibly)."""
+    from calm_tpu import model as M
+
+    cfg = tiny_config(dtype="fp16", seq_len=64)
+    path = str(tmp_path / "restart.calm")
+    write_tiny_model(path, cfg, seed=3)
+
+    def greedy_tokens(eng, start_tokens, n_total, prefill: bool):
+        # stop tokens ignored: determinism is the contract under test
+        toks = list(start_tokens)
+        if len(toks) > 1:
+            if prefill:
+                eng.prefill_tokens(toks[:-1])
+            else:
+                for p in range(len(toks) - 1):
+                    eng.step(toks[p], p)
+        pos, token = len(toks) - 1, toks[-1]
+        logits = None
+        while pos < n_total:
+            logits = eng.step(token, pos)
+            pos += 1
+            token = int(np.argmax(logits))
+            toks.append(token)
+        return toks, logits
+
+    eng_a = Engine(path, kv_dtype="fp16")
+    prompt = eng_a.tokenizer.encode("AB", bos=True)
+    full, logits_full = greedy_tokens(eng_a, prompt, 16, prefill=False)
+
+    # "crash" after 6 generated tokens: a brand-new engine resumes from
+    # the durable inputs only (container + token history)
+    cut = len(prompt) + 6
+    assert cut < len(full)
+
+    # step-replay resume: the same per-token path -> BITWISE identical
+    eng_b = Engine(path, kv_dtype="fp16")
+    resumed, logits_resumed = greedy_tokens(eng_b, full[:cut], 16,
+                                            prefill=False)
+    assert resumed == full
+    assert M.logits_hash(logits_resumed) == M.logits_hash(logits_full)
+
+    # fast (batched-prefill) resume: KV rows are written by the prefill
+    # kernel whose accumulation order differs at the ulp from stepping —
+    # the TOKEN stream must still be identical (greedy is robust to it)
+    eng_c = Engine(path, kv_dtype="fp16")
+    resumed_fast, logits_fast = greedy_tokens(eng_c, full[:cut], 16,
+                                              prefill=True)
+    assert resumed_fast == full
+    np.testing.assert_allclose(logits_fast, logits_full,
+                               rtol=1e-3, atol=1e-3)

@@ -211,6 +211,64 @@ def test_gf4_offn(rng, sub_mean, act_gelu, b):
         np.testing.assert_allclose(got, ffn_want, rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.parametrize("sub_mean", [False, True])
+def test_gf4_offn_qkv(rng, sub_mean):
+    """Rotated fusion boundary: the offn_qkv kernel's extra epilogue step
+    (x_new = r1 + ffn, next-layer attn-norm, fused qkv projection from
+    the async-copied wqkv) matches the separate-op reference, including
+    the l+1 -> L-1 clamp at the last layer."""
+    import jax
+    import jax.numpy as jnp
+    from calm_tpu.ops.norms import rmsnorm
+
+    L, D, Q, H, R = 2, 256, 128, 8 * 72, 192
+    b, eps = 1, 1e-5
+    mk = lambda h, w_: np.stack([quant.quantize(
+        (rng.standard_normal((h, w_)) * 0.05).astype(np.float32), "gf4")
+        for _ in range(L)])
+    wo, w1, w3, w2 = mk(D, Q), mk(H, D), mk(H, D), mk(D, H)
+    wqkv = mk(R, D)
+    g = (1.0 + rng.standard_normal((L, D)) * 0.1).astype(np.float32)
+    anx = (1.0 + rng.standard_normal((L, D)) * 0.1).astype(np.float32)
+    a = (rng.standard_normal((b, Q)) * 0.5).astype(np.float32)
+    r = (rng.standard_normal((b, D)) * 0.5).astype(np.float32)
+
+    w1p = jnp.asarray(w1).reshape(L, H // 8, 8, D // 8).transpose(0, 2, 1, 3)
+    w3p = jnp.asarray(w3).reshape(L, H // 8, 8, D // 8).transpose(0, 2, 1, 3)
+    wo_p = jnp.asarray(wo).reshape(L, D // 8, 8, Q // 8).transpose(0, 2, 1, 3)
+    w2t = jnp.asarray(w2).transpose(0, 2, 1)
+    w2tp = (w2t.reshape(L, H // 8, D // 8, 8).transpose(0, 1, 3, 2)
+            .reshape(L, H // 8, D))
+    g_pl = jnp.asarray(g).reshape(L, D // 8, 8).transpose(0, 2, 1)
+    anx_pl = jnp.asarray(anx).reshape(L, D // 8, 8).transpose(0, 2, 1)
+
+    for l in range(L):
+        qo = qmm.QTensor.from_numpy(wo[l], "gf4")
+        q1 = qmm.QTensor.from_numpy(w1[l], "gf4")
+        q3 = qmm.QTensor.from_numpy(w3[l], "gf4")
+        q2 = qmm.QTensor.from_numpy(w2[l], "gf4")
+        ln = min(l + 1, L - 1)
+        qn = qmm.QTensor.from_numpy(wqkv[ln], "gf4")
+        r1_want = r + np.asarray(qmm.qmatmul(jnp.asarray(a), qo))
+        xn = np.asarray(rmsnorm(jnp.asarray(r1_want), jnp.asarray(g[l]),
+                                eps, subtract_mean=sub_mean))
+        h = np.asarray(jax.nn.silu(qmm.qmatmul(jnp.asarray(xn), q1))
+                       * qmm.qmatmul(jnp.asarray(xn), q3))
+        x_want = r1_want + np.asarray(qmm.qmatmul(jnp.asarray(h), q2))
+        xq = np.asarray(rmsnorm(jnp.asarray(x_want), jnp.asarray(anx[ln]),
+                                eps, subtract_mean=sub_mean))
+        qkv_want = np.asarray(qmm.qmatmul(jnp.asarray(xq), qn))
+
+        x_pl, qkv_got = pallas_qmm.gf4_offn_qkv(
+            jnp.asarray(_perm(a)), jnp.asarray(_perm(r)), g_pl, anx_pl,
+            wo_p, w1p, w3p, w2tp, jnp.asarray(wqkv), jnp.int32(l),
+            False, eps, sub_mean)
+        np.testing.assert_allclose(_unperm(np.asarray(x_pl)), x_want,
+                                   rtol=5e-2, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(qkv_got), qkv_want,
+                                   rtol=5e-2, atol=5e-2)
+
+
 def test_qmm_pre_planed_matches(rng):
     """pre_planed gf4 input (B, 8, n/8) gives the same result as the
     natural-layout call (the kernel's internal form, handed directly)."""

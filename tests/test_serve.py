@@ -1147,3 +1147,33 @@ def test_speculative_server_soak(model_path):
         if checked == 3:
             break
     assert checked > 0
+
+
+def test_watchdog_detects_stall_and_recovers(model_path):
+    """Liveness watchdog (SURVEY §5 failure detection): with a request in
+    flight and the tick loop wedged, on_stall fires; once ticking resumes
+    and drains, it stays quiet."""
+    import time as _t
+
+    srv = Server(model_path, batch=2, kv_dtype="fp16")
+    fired = []
+    srv.watchdog_start(stall_s=0.15, on_stall=fired.append, poll_s=0.02)
+    try:
+        # idle server: no requests -> never fires
+        _t.sleep(0.4)
+        assert not fired
+
+        # wedged: a pending request but nobody ticks
+        req = srv.submit("AB", max_tokens=6, temperature=0.0)
+        _t.sleep(0.6)
+        assert fired, "watchdog must fire while a request is starved"
+        assert fired[0] >= 0.15
+
+        # recovery: ticking resumes, request completes, no new firings
+        srv.run_until_drained()
+        assert req.done
+        n = len(fired)
+        _t.sleep(0.4)
+        assert len(fired) == n
+    finally:
+        srv.watchdog_stop()
