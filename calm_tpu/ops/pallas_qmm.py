@@ -112,7 +112,11 @@ def _layered_gf4_kernel(lref, xp_ref, w_ref, o_ref):
     acc = None
     for k in range(8):
         codes = ((wu >> (8 + 3 * k)) & 7).astype(jnp.int32).astype(jnp.float32)
-        plane = ((codes - 4.0) * scale).astype(jnp.bfloat16)  # (TD, N/8)
+        # plane stays f32: (codes-4)*scale has <= 6 significand bits, so the
+        # MXU's own f32->bf16 input truncation is EXACT — skipping the
+        # explicit astype removes ~1 VPU op/value (222 -> 206 us/layer on the
+        # offn harness, docs/PERF_NOTES.md round-4 "decode op diet")
+        plane = (codes - 4.0) * scale  # (TD, N/8)
         d = jax.lax.dot_general(
             xp_ref[:, k, :].astype(jnp.bfloat16), plane,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -425,7 +429,9 @@ def _gf4_plane_dot(x_planes, wu, out_rows):
     acc = None
     for j in range(8):
         codes = ((wu >> (8 + 3 * j)) & 7).astype(jnp.int32).astype(jnp.float32)
-        plane = ((codes - 4.0) * scale).astype(jnp.bfloat16)
+        # f32 plane: exact in bf16 (<= 6 significand bits) — the MXU
+        # truncates for free; the explicit cast costs a VPU op/value
+        plane = (codes - 4.0) * scale
         d = jax.lax.dot_general(
             x_planes[:, j, :].astype(jnp.bfloat16), plane,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -464,9 +470,10 @@ def _gf4_ffn_kernel(lref, xp_ref, w1_ref, w3_ref, w2_ref, o_ref, *,
         a = h1 * (1.0 / (1.0 + jnp.exp(-h1)))  # silu
     h = a * h3
 
-    # tail mask: word-columns beyond H/8 carry garbage (padded block)
-    col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
-    h = jnp.where(i * tc + col % tc < g_h, h, 0.0)
+    if g_h % tc:  # compiled out when the grid tiles H/8 exactly
+        # tail mask: word-columns beyond H/8 carry garbage (padded block)
+        col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        h = jnp.where(i * tc + col % tc < g_h, h, 0.0)
 
     # w2 word-column tile from the TRANSPOSED (H/8, D) layout: a (tc, D)
     # CONTIGUOUS slab (column slices of the natural (D, H/8) layout read
@@ -477,7 +484,7 @@ def _gf4_ffn_kernel(lref, xp_ref, w1_ref, w3_ref, w2_ref, o_ref, *,
     acc = None
     for k in range(8):
         codes = ((wu2 >> (8 + 3 * k)) & 7).astype(jnp.int32).astype(jnp.float32)
-        plane = ((codes - 4.0) * scale2).astype(jnp.bfloat16)  # (tc, D)
+        plane = (codes - 4.0) * scale2  # (tc, D) f32: exact in bf16
         d = jax.lax.dot_general(
             h[:, k * tc:(k + 1) * tc].astype(jnp.bfloat16), plane,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -503,11 +510,11 @@ def _gf4_ffn(x, w1p, w3p, w2t, layer, act_gelu: bool, interpret: bool):
     L, _, g_h, g_d = w1p.shape
     # tile size: keep the three double-buffered weight slabs within the
     # per-chip scratch budget
-    from calm_tpu.chip import tuning
-    scratch_budget = tuning().moe_scratch_bytes
+    # tc = 128 FIXED: measured on v5e (448-layer slope harness), tc=256
+    # is 8-11 us/layer SLOWER than 128 despite fitting the scratch budget
+    # (bigger tiles lengthen the per-step DMA the pipeline must hide);
+    # docs/PERF_NOTES.md round-4 "decode op diet"
     tc = 128
-    while (2 * 8 * tc * g_d + tc * D) * 4 * 2 < scratch_budget and tc * 2 <= g_h:
-        tc *= 2
     grid = (pl.cdiv(g_h, tc),)
     xp = x.astype(jnp.float32).reshape(B, g_d, 8).transpose(0, 2, 1)
     cost = pl.CostEstimate(
@@ -561,7 +568,7 @@ def _gf4_w2_dot(h, wu2, tc: int):
     acc = None
     for k in range(8):
         codes = ((wu2 >> (8 + 3 * k)) & 7).astype(jnp.int32).astype(jnp.float32)
-        plane = ((codes - 4.0) * scale2).astype(jnp.bfloat16)  # (tc, D)
+        plane = (codes - 4.0) * scale2  # (tc, D) f32: exact in bf16
         d = jax.lax.dot_general(
             h[:, k * tc:(k + 1) * tc].astype(jnp.bfloat16), plane,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -622,8 +629,9 @@ def _gf4_offn_kernel(lref, a_ref, r_ref, g_ref, wo_ref, w1_ref, w3_ref,
     else:
         a = h1 * (1.0 / (1.0 + jnp.exp(-h1)))  # silu
     h = a * h3
-    col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
-    h = jnp.where(i * tc + col % tc < g_h, h, 0.0)
+    if g_h % tc:  # compiled out when the grid tiles H/8 exactly
+        col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        h = jnp.where(i * tc + col % tc < g_h, h, 0.0)
 
     acc = _gf4_w2_dot(h, pltpu.bitcast(w2_ref[0], jnp.uint32), tc)
 
@@ -650,14 +658,9 @@ def _gf4_offn(a_pl, r_pl, g_pl, wo_p, w1p, w3p, w2tp, layer, act_gelu: bool,
     L, _, G, Gq = wo_p.shape
     _, _, g_h, g_d = w1p.shape
     D = 8 * G
-    from calm_tpu.chip import tuning
-    # the wo block stays resident across all grid steps: charge it against
-    # the scratch budget before sizing the double-buffered FFN tiles
-    wo_bytes = 8 * G * Gq * 4
-    budget = max(tuning().moe_scratch_bytes - wo_bytes, 8 << 20)
+    # tc = 128 FIXED (not auto-grown): tc=256 measured 8-11 us/layer slower
+    # on v5e — docs/PERF_NOTES.md round-4 "decode op diet"
     tc = 128
-    while (2 * 8 * tc * g_d + tc * D) * 4 * 2 < budget and tc * 2 <= g_h:
-        tc *= 2
     grid = (pl.cdiv(g_h, tc),)
     cost = pl.CostEstimate(
         flops=2 * B * (8 * G * 8 * Gq + 2 * 8 * g_h * 8 * g_d + D * 8 * g_h),
@@ -767,8 +770,9 @@ def _gf4_offn_qkv_kernel(lref, a_ref, r_ref, g_ref, anx_ref, wo_ref, w1_ref,
     else:
         a = h1 * (1.0 / (1.0 + jnp.exp(-h1)))  # silu
     h = a * h3
-    col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
-    h = jnp.where(i * tc + col % tc < g_h, h, 0.0)
+    if g_h % tc:  # compiled out when the grid tiles H/8 exactly
+        col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        h = jnp.where(i * tc + col % tc < g_h, h, 0.0)
     acc = _gf4_w2_dot(h, pltpu.bitcast(w2_ref[0], jnp.uint32), tc)
 
     @pl.when(i == 0)
@@ -828,15 +832,8 @@ def _gf4_offn_qkv(a_pl, r_pl, g_pl, anx_pl, wo_p, w1p, w3p, w2tp, wqkv,
     _, _, g_h, g_d = w1p.shape
     R = wqkv.shape[1]
     D = 8 * G
-    from calm_tpu.chip import tuning
-    # wo stays resident across steps and wqkv lands in a VMEM scratch:
-    # charge both against the budget before sizing the FFN tiles
-    wo_bytes = 8 * G * Gq * 4
-    budget = max(tuning().moe_scratch_bytes - wo_bytes - R * G * 4,
-                 8 << 20)
+    # tc = 128 FIXED: see _gf4_offn (tc=256 measured slower on v5e)
     tc = 128
-    while (2 * 8 * tc * g_d + tc * D) * 4 * 2 < budget and tc * 2 <= g_h:
-        tc *= 2
     n_tiles = pl.cdiv(g_h, tc)
     grid = (n_tiles,)
     cost = pl.CostEstimate(
@@ -953,7 +950,7 @@ def _moe_dense_gf4_kernel(sref, xp_ref, w_ref, o_ref):
     acc = None
     for k in range(8):
         codes = ((wu >> (8 + 3 * k)) & 7).astype(jnp.int32).astype(jnp.float32)
-        plane = ((codes - 4.0) * scale).astype(jnp.bfloat16)  # (TD, N/8)
+        plane = (codes - 4.0) * scale  # (TD, N/8) f32: exact in bf16
         d = jax.lax.dot_general(
             xp_ref[0, :, k, :].astype(jnp.bfloat16), plane,
             dimension_numbers=(((1,), (1,)), ((), ())),

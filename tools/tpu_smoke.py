@@ -33,6 +33,30 @@ from calm_tpu.ops import qmm  # noqa: E402
 from calm_tpu.utils.synth import synth_weights  # noqa: E402
 
 
+# TPU-backend golden greedy-decode fingerprints, pinned per device kind
+# (the CPU suite's matrix in tests/test_golden.py cannot see a hardware
+# numerics regression, e.g. a Mosaic update changing an accumulation —
+# the reference re-checks its #hash on-device every sequence,
+# /root/reference/src/run.c:242-253). Regenerate after an INTENTIONAL
+# numerics change: run this script and copy the printed hashes.
+GOLDEN_TPU = {
+    "TPU v5 lite": {
+        "fp16 hidden=512 B=1": 0x2b8add20,
+        "fp16 hidden=512 B=4": 0x350bf328,
+        "fp8 hidden=512 B=1": 0x10814e00,
+        "fp8 hidden=512 B=4": 0x97ac6000,
+        "fp8e4 hidden=512 B=1": 0xb3c19c00,
+        "fp8e4 hidden=512 B=4": 0xfc8dd000,
+        "gf4 hidden=512 B=1": 0x28a1cad7,
+        "gf4 hidden=512 B=4": 0x18cb2dc7,
+        "gf4 hidden=2752 B=1": 0x17a81071,
+        "gf4 hidden=2752 B=4": 0x72a16376,
+        "gf4 hidden=512 moe B=1": 0x844a91a3,
+        "gf4 hidden=512 moe B=4": 0xbed28e94,
+    },
+}
+
+
 def tiny_cfg(dtype: str, hidden: int, moe: bool = False) -> ModelConfig:
     # hidden/8 deliberately NOT lane-aligned for the llama2-geometry case:
     # 344 words — the class of shape the %128 gate silently mis-routed
@@ -100,7 +124,16 @@ def main() -> int:
                       f"(max rel err {rel:.3f}, tokens differ)")
                 failures += 1
                 continue
-            print(f"ok   {tag}  #{h1:08x}  (rel err {rel:.4f})")
+            # golden gate: pinned on-device fingerprint for this chip kind
+            want = GOLDEN_TPU.get(dev.device_kind, {}).get(tag)
+            if want is not None and h1 != want:
+                print(f"FAIL {tag}: hash #{h1:08x} != golden #{want:08x} "
+                      "(hardware numerics regression — or regenerate "
+                      "GOLDEN_TPU after an intentional change)")
+                failures += 1
+                continue
+            gold = "" if want is None else " golden-ok"
+            print(f"ok   {tag}  #{h1:08x}  (rel err {rel:.4f}){gold}")
 
     # fp8 KV (in-kernel decode) + the ROLLING window program (sink rotation
     # lowering) on hardware: decode across the seq_len edge, fast path vs
