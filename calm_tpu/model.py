@@ -486,7 +486,7 @@ def _embed(cfg: ModelConfig, embed: QTensor, tokens, plan: ShardingPlan):
 
 def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
                batch_off=None, fresh=None, plan: ShardingPlan = NO_SHARDING,
-               pt=None):
+               pt=None, tree=None):
     """GQA attention over the (possibly rolled) cache — fully head-local
     (cache is sharded over kv-heads under tp, so no collective here).
 
@@ -574,6 +574,19 @@ def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
     causal = s_idx <= q_pos[:, :, None]                        # (B, T, S)
     rolled = (q_pos[:, :, None] >= s_glob)                     # wrap: all valid rows visible
     mask = valid & (causal | rolled)                           # (B, T, S)
+    if tree is not None:
+        # draft-tree verify (tree_verify_fn): the T queries are the tree's
+        # nodes, living in cache rows [kv_len - N, kv_len); a node sees the
+        # plain context below the tree plus its ANCESTORS only — the
+        # flat-causal rule would let siblings leak across lanes
+        N = tree.shape[0]
+        p0 = kv_len[:, None, None] - N                         # (B, 1, 1)
+        in_tree = (s_idx >= p0) & (s_idx < kv_len[:, None, None])
+        col = jnp.clip(s_idx - p0, 0, N - 1)                   # (B, 1, S)
+        tv = jnp.take_along_axis(
+            jnp.broadcast_to(tree[None], (B, T, N)),
+            jnp.broadcast_to(col, (B, T, S)), axis=2)          # (B, T, S)
+        mask = valid & jnp.where(in_tree, tv, causal)
 
     scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
     if sp_decode:
@@ -805,7 +818,8 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
 
 def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
            kv_len, kv_dtype, rolling: bool, rope, plan: ShardingPlan,
-           batch_off=None, pt=None, planed: bool = False, qkv_in=None):
+           batch_off=None, pt=None, planed: bool = False, qkv_in=None,
+           tree=None):
     """One transformer layer on a (B, T, D) activation wave.
 
     ``planed`` (gf4 offn tier, decode T==1 only): x is the plane-permuted
@@ -988,7 +1002,7 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
             v_all = jax.lax.all_gather(v.astype(kv_dtype), plan.sp, axis=1,
                                        tiled=True)
             att = _attention_fresh(cfg, q, k_all, v_all, pos)
-    elif T > 1 and not rolling and pallas_decode_enabled():
+    elif T > 1 and not rolling and pallas_decode_enabled() and tree is None:
         # flash prefill: blockwise online softmax against the carried cache
         # (the jnp path materializes (KVH, M, T, S) f32 scores — 2 GB
         # transient per layer at T=S=4096)
@@ -998,10 +1012,12 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
                                             layer)
         att = att.reshape(B, T, H * hd)
     else:
+        # tree verify rides the jnp path: T = tree-node count is tiny, and
+        # the flash prefill kernel assumes a contiguous causal pos run
         fresh = ((kh[0, :, :, 0, :], vh[0, :, :, 0, :], kv_pos[:, 0])
                  if defer else None)
         att = _attention(cfg, q, kc, vc, layer, pos, kv_len, batch_off,
-                         fresh=fresh, plan=plan, pt=pt)
+                         fresh=fresh, plan=plan, pt=pt, tree=tree)
 
     if planed:
         from calm_tpu.ops import pallas_qmm
@@ -1091,7 +1107,8 @@ def _rope_tables(cfg: ModelConfig, pos, batch: int):
 def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
                 cache: KVCache, rolling: bool, rope,
                 plan: ShardingPlan,
-                batch_off=None, pt=None) -> tuple[jax.Array, KVCache]:
+                batch_off=None, pt=None,
+                tree=None) -> tuple[jax.Array, KVCache]:
     """The layer-stack scan on an embedded activation wave; the cache's
     leading axis defines how many (local) layers run — under pipeline
     parallelism each stage holds and runs only its layer shard."""
@@ -1145,7 +1162,7 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
         x, kc, vc, fresh, _ = _layer(cfg, x, w.layers, layer, kc, vc, pos,
                                      kv_pos, kv_len, kv_dtype, rolling,
                                      rope, plan, batch_off, pt,
-                                     planed=planed)
+                                     planed=planed, tree=tree)
         return (x, kc, vc), fresh
 
     unroll = min(LAYER_UNROLL, n_layers)
@@ -1198,12 +1215,12 @@ def _head(cfg: ModelConfig, w: Weights, x, logits_mode: str):
 
 def _forward(cfg: ModelConfig, w: Weights, tokens, pos, kv_pos, kv_len,
              cache: KVCache, rolling: bool, logits_mode: str,
-             plan: ShardingPlan = NO_SHARDING, pt=None):
+             plan: ShardingPlan = NO_SHARDING, pt=None, tree=None):
     """Shared forward: tokens/pos/kv_pos (B, T), kv_len (B,)."""
     x = _embed(cfg, w.embed, tokens, plan)  # (B, T, D)
     rope = _rope_tables(cfg, pos, tokens.shape[0])
     x, cache = _run_layers(cfg, w, x, pos, kv_pos, kv_len, cache,
-                           rolling, rope, plan, pt=pt)
+                           rolling, rope, plan, pt=pt, tree=tree)
     return _head(cfg, w, x, logits_mode), cache
 
 
@@ -1248,6 +1265,57 @@ def prefill_fn(cfg: ModelConfig, w: Weights, tokens, pos0, cache: KVCache,
     kv_len = pos0 + T
     return _forward(cfg, w, tokens, pos, pos, kv_len, cache,
                     rolling=False, logits_mode=logits_mode, plan=plan)
+
+
+def tree_verify_fn(cfg: ModelConfig, w: Weights, tokens, pos0, depth, tree,
+                   cache: KVCache, plan: ShardingPlan = NO_SHARDING):
+    """Verify a static-shape speculation TREE in one forward (draft-tree
+    decoding — beyond the reference, which has no speculation at all).
+
+    tokens (1, N): the tree's nodes in flat order (node 0 = the current
+    token / root); depth (N,) int32: each node's depth below the root
+    (root = 0) — RoPE positions are pos0 + depth, so sibling lanes share
+    positions; tree (N, N) bool: ancestor-or-self reachability — the
+    attention mask that keeps lanes from seeing each other (consumed by
+    _attention). KV rows land FLAT at pos0 + [0, N): the caller relocates
+    the accepted path onto contiguous rows afterwards (cache_move_rows).
+
+    Requires pos0 + N <= seq_len (no rolling mid-tree; callers fall back
+    to plain stepping near the window edge, like speculative_generate).
+    Returns (logits (1, N, V), cache): logits[0, j] is the target's
+    next-token verdict after consuming node j along its ancestor path.
+    """
+    B, N = tokens.shape
+    pos = pos0[:, None] + depth[None, :]
+    kv_pos = pos0[:, None] + jnp.arange(N, dtype=jnp.int32)[None, :]
+    kv_len = pos0 + N
+    return _forward(cfg, w, tokens, pos, kv_pos, kv_len, cache,
+                    rolling=False, logits_mode="all", plan=plan, tree=tree)
+
+
+def cache_move_rows_fn(cache: KVCache, src0, dst0, n: int) -> KVCache:
+    """Relocate ``n`` cache rows from [src0, src0+n) to [dst0, dst0+n) in
+    every layer/slot (static n, traced offsets): the tree-verify accepted
+    path lands on contiguous rows. Functional slice-then-update, so
+    overlapping ranges are safe."""
+    def move(buf):
+        rows = jax.lax.dynamic_slice_in_dim(buf, src0, n, axis=3)
+        return jax.lax.dynamic_update_slice_in_dim(buf, rows, dst0, axis=3)
+    return KVCache(move(cache.k), move(cache.v))
+
+
+def cache_bcast_rows_fn(cache: KVCache, lane, row0, n: int) -> KVCache:
+    """Broadcast one batch lane's cache rows [row0, row0+n) to EVERY lane
+    (static n): after a tree round the winning draft lane's chain becomes
+    the shared history for the next round's batched draft scan."""
+    def bcast(buf):
+        rows = jax.lax.dynamic_slice(
+            buf, (0, lane, 0, row0, 0),
+            (buf.shape[0], 1, buf.shape[2], n, buf.shape[4]))
+        rows = jnp.broadcast_to(rows, (buf.shape[0], buf.shape[1],
+                                       buf.shape[2], n, buf.shape[4]))
+        return jax.lax.dynamic_update_slice(buf, rows, (0, 0, 0, row0, 0))
+    return KVCache(bcast(cache.k), bcast(cache.v))
 
 
 def decode_scan_sampled_fn(cfg: ModelConfig, w: Weights, token, pos0,
@@ -1405,6 +1473,12 @@ prefill = jax.jit(prefill_fn, static_argnames=("cfg", "logits_mode", "plan"),
 decode_scan = jax.jit(decode_scan_fn,
                       static_argnames=("cfg", "n_steps", "plan", "rolling"),
                       donate_argnames=("cache",))
+tree_verify = jax.jit(tree_verify_fn, static_argnames=("cfg", "plan"),
+                      donate_argnames=("cache",))
+cache_move_rows = jax.jit(cache_move_rows_fn, static_argnames=("n",),
+                          donate_argnames=("cache",))
+cache_bcast_rows = jax.jit(cache_bcast_rows_fn, static_argnames=("n",),
+                           donate_argnames=("cache",))
 
 
 def logits_hash(logits: np.ndarray) -> int:

@@ -328,3 +328,187 @@ def _speculative_sampled(target: Engine, draft: Engine, prompt: str,
     stats.rounds = n_rounds
     stats.ids = all_ids
     return stats
+
+
+# ---------------------------------------------------------------------------
+# draft-TREE speculation: k root-branched chains verified in one forward
+# ---------------------------------------------------------------------------
+
+
+def _tree_mask(k: int, m: int) -> np.ndarray:
+    """Ancestor-or-self reachability for the root-branched tree: node 0 is
+    the root; lane i contributes nodes 1 + i*(m-1) + (0..m-2) at depths
+    1..m-1. (N, N) bool, static per (k, m) — compiled into the verify."""
+    n = 1 + k * (m - 1)
+    t = np.zeros((n, n), bool)
+    t[:, 0] = True  # everyone sees the root
+    for i in range(k):
+        base = 1 + i * (m - 1)
+        for d in range(m - 1):
+            t[base + d, base:base + d + 1] = True  # own lane, shallower+self
+    return t
+
+
+def tree_speculative_generate(target: Engine, draft: Engine,
+                              prompt: str = "", steps: int = 256, *,
+                              k: int = 3, m: int = 5,
+                              pos_offset: int = 0, echo: bool = False,
+                              on_piece=None) -> GenStats:
+    """Greedy draft-TREE decoding: instead of one chain of gamma tokens,
+    the draft proposes its TOP-K first tokens and rolls a greedy chain of
+    ``m`` tokens from each — one BATCHED draft scan (lanes ride the batch
+    axis; the draft cache is broadcast to k lanes once). The target then
+    verifies all 1 + k*(m-1) nodes in ONE forward with a tree attention
+    mask (model.tree_verify): each node attends to the context plus its
+    own ancestors only, RoPE positions follow DEPTH (sibling lanes share
+    positions), KV rows land flat and the winning lane's rows are
+    relocated onto the contiguous accepted span (model.cache_move_rows).
+
+    Greedy-exact: everything emitted is the target's own argmax chain —
+    identical ids/hash to Engine.generate(temperature=0). The tree only
+    changes SPEED: when the draft's top-1 misses but its top-k covers the
+    target's pick, a linear chain dies at depth 0 while a tree keeps
+    going (measured acceptance gain in tests/test_speculative.py).
+
+    The draft Engine's own cache is left untouched after the prompt
+    prefill (lanes live in a local batch-k copy).
+    """
+    tok = target.tokenizer
+    prompt_tokens = tok.encode(prompt, bos=True)
+    if not prompt_tokens:
+        prompt_tokens = [tok.bos_id if tok.bos_id >= 0 else 0]
+    stops = (tok.bos_id, tok.eos_id, tok.eot_id)
+
+    out = bytearray()
+
+    def emit(piece: bytes):
+        out.extend(piece)
+        if on_piece:
+            on_piece(piece.decode("utf-8", errors="replace"))
+
+    if echo and prompt_tokens[0] != tok.bos_id:
+        emit(tok.decode_piece(tok.bos_id, prompt_tokens[0]))
+
+    read_bytes = 0
+    start = time.perf_counter()
+
+    n_prompt = len(prompt_tokens)
+    pos = 0
+    if n_prompt > 1:
+        target.prefill_tokens(prompt_tokens[:-1], pos_offset)
+        draft.prefill_tokens(prompt_tokens[:-1], pos_offset)
+        read_bytes += (n_prompt - 1) * (target.n_bandwidth + draft.n_bandwidth)
+        if echo:
+            for p in range(n_prompt - 1):
+                emit(tok.decode_piece(prompt_tokens[p], prompt_tokens[p + 1]))
+        pos = n_prompt - 1
+
+    # lanes ride the draft's batch axis: one broadcast copy of the prompt's
+    # KV, then every round's k chains run as ONE batched decode scan
+    dcache = M.KVCache(jnp.repeat(draft.cache.k, k, axis=1),
+                       jnp.repeat(draft.cache.v, k, axis=1))
+    tree = jnp.asarray(_tree_mask(k, m))
+    depth = jnp.asarray([0] + [d for _ in range(k) for d in range(1, m)],
+                        jnp.int32)
+    N = 1 + k * (m - 1)
+
+    token = prompt_tokens[-1]
+    logits_last = None
+    n_rounds = 0
+    n_accepted = 0
+    n_emitted = 0
+    stopped = False
+    all_ids: list[int] = []
+    horizon = min(target.cfg.seq_len, draft.cfg.seq_len)
+
+    while not stopped and (pos < steps or steps < 0):
+        room = steps - pos if steps >= 0 else m
+        if pos + pos_offset + max(N, m + 1) + 1 >= horizon or room < m:
+            # window edge / tail: plain target stepping (same fallback as
+            # speculative_generate)
+            logits = target.step(token, pos + pos_offset)
+            read_bytes += target.n_bandwidth
+            logits_last = logits
+            nxt = int(np.argmax(logits))
+            pos += 1
+            all_ids.append(nxt)
+            if nxt in stops:
+                break
+            emit(tok.decode_piece(token, nxt))
+            token = nxt
+            continue
+
+        p = pos + pos_offset
+        # 1) draft root step (batched over lanes, identical inputs):
+        #    writes row p in every lane, logits give the top-k fan-out
+        d_log, dcache = M.decode_step(
+            draft.cfg, draft.weights,
+            jnp.full((k,), token, jnp.int32),
+            jnp.full((k,), p, jnp.int32), dcache, rolling=False)
+        read_bytes += draft.n_bandwidth
+        firsts = np.argsort(np.asarray(d_log[0], np.float32))[-k:][::-1]
+        firsts = firsts.astype(np.int64)
+
+        # 2) k greedy chains, one batched scan: lane i rolls from firsts[i]
+        d_toks, dcache, _ = M.decode_scan(
+            draft.cfg, draft.weights, jnp.asarray(firsts, jnp.int32),
+            jnp.full((k,), p + 1, jnp.int32), dcache, m - 1, rolling=False)
+        chains = np.concatenate([firsts[:, None], np.asarray(d_toks)],
+                                axis=1)  # (k, m)
+        read_bytes += (m - 1) * draft.n_bandwidth
+
+        # 3) one tree-masked target forward over all nodes
+        flat = [token] + [int(t) for i in range(k)
+                          for t in chains[i, :m - 1]]
+        t_logits, target.cache = M.tree_verify(
+            target.cfg, target.weights, jnp.asarray([flat], jnp.int32),
+            jnp.asarray([p], jnp.int32), depth, tree, target.cache)
+        t_logits = np.asarray(t_logits[0], np.float32)  # (N, V)
+        read_bytes += target.n_bandwidth + kv_cache_bytes(
+            target.cfg, target.kv_bits, p + N)
+
+        # 4) walk the tree along target argmaxes (greedy-exact)
+        n_rounds += 1
+        emitted = []
+        a = int(np.argmax(t_logits[0]))
+        logits_last = t_logits[0]
+        emitted.append(a)
+        lane = next((i for i in range(k) if int(chains[i, 0]) == a), None)
+        if lane is not None:
+            n_accepted += 1
+            for d in range(1, m):
+                node = 1 + lane * (m - 1) + (d - 1)
+                a = int(np.argmax(t_logits[node]))
+                logits_last = t_logits[node]
+                emitted.append(a)
+                if a != int(chains[lane, d]):
+                    break
+                n_accepted += 1
+        # 5) relocate the winning lane's rows onto the contiguous span and
+        #    share its chain history across draft lanes (next round's scan
+        #    must see the accepted context in every lane)
+        lane_i = 0 if lane is None else lane
+        target.cache = M.cache_move_rows(
+            target.cache, jnp.int32(p + 1 + lane_i * (m - 1)),
+            jnp.int32(p + 1), m - 1)
+        dcache = M.cache_bcast_rows(dcache, jnp.int32(lane_i),
+                                    jnp.int32(p + 1), m - 1)
+
+        for nxt in emitted:
+            pos += 1
+            n_emitted += 1
+            all_ids.append(nxt)
+            if nxt in stops:
+                stopped = True
+                break
+            emit(tok.decode_piece(token, nxt))
+            token = nxt
+
+    seconds = time.perf_counter() - start
+    h = M.logits_hash(logits_last) if logits_last is not None else 0
+    stats = GenStats(tokens=pos, seconds=seconds, read_bytes=read_bytes,
+                     logits_hash=h, text=out.decode("utf-8", errors="replace"))
+    stats.acceptance = (n_accepted / max(n_emitted, 1))
+    stats.rounds = n_rounds
+    stats.ids = all_ids
+    return stats

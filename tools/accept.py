@@ -183,6 +183,86 @@ def synthesize(root: str):
         print(f"# synthesized {d}")
 
 
+def _pplx_token_ids(path: str):
+    """tools/pplx.txt as byte-fallback token ids (3 + byte, the selftest
+    tokenizer's layout)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return np.frombuffer(data, np.uint8).astype(np.int64) + 3
+
+
+def train_tiny(root: str, pplx: str, steps: int = 400):
+    """Structured-synthetic fallback for real-checkpoint acceptance
+    (no-network environments): TRAIN the tiny llama on the published
+    perplexity text so its logits carry real structure — on random weights
+    a format's quantization error is invisible in ppl (near-uniform
+    logits), on a trained model the fp16 <= fp8 <= gf4 ordering and the
+    fp8 ~0.5%-class delta become measurable. Reference quality contract:
+    README.md:66-68, harness src/run.c:258-316."""
+    import torch
+
+    from calm_tpu import container
+
+    os.makedirs(root, exist_ok=True)
+    hf_cfg = {
+        "architectures": ["LlamaForCausalLM"],
+        "hidden_size": 256, "intermediate_size": 512,
+        "num_hidden_layers": 4,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "vocab_size": 272, "max_position_embeddings": 128,
+        "bos_token_id": 1, "eos_token_id": 2, "rope_theta": 10000.0,
+        "rms_norm_eps": 1e-5, "hidden_act": "silu",
+        "tie_word_embeddings": False,
+    }
+    ids = _pplx_token_ids(pplx)
+    seq = 128
+    n = (len(ids) - 1) // seq
+    x = torch.from_numpy(np.stack([ids[i * seq:(i + 1) * seq]
+                                   for i in range(n)]))
+    y = torch.from_numpy(np.stack([ids[i * seq + 1:(i + 1) * seq + 1]
+                                   for i in range(n)]))
+
+    for name, seed in (("mistral-7b", 21), ("llama-3-8b", 22)):
+        d = os.path.join(root, name)
+        marker = os.path.join(d, ".trained")
+        if os.path.exists(marker):
+            continue
+        os.makedirs(d, exist_ok=True)
+        torch.manual_seed(seed)
+        from transformers import LlamaConfig, LlamaForCausalLM
+        cfg = LlamaConfig(**{k: v for k, v in hf_cfg.items()
+                             if k != "architectures"},
+                          attention_bias=False)
+        model = LlamaForCausalLM(cfg).train()
+        opt = torch.optim.AdamW(model.parameters(), lr=2e-3,
+                                weight_decay=0.01)
+        lossf = torch.nn.CrossEntropyLoss()
+        g = torch.Generator().manual_seed(seed)
+        t0 = time.time()
+        for it in range(steps):
+            idx = torch.randint(0, n, (16,), generator=g)
+            out = model(input_ids=x[idx]).logits
+            loss = lossf(out.reshape(-1, 272), y[idx].reshape(-1))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            if it % 100 == 0 or it == steps - 1:
+                print(f"#   train {name} step {it}: loss {loss.item():.3f} "
+                      f"({time.time() - t0:.0f}s)")
+        model.eval()
+        tensors = {k: v.detach().float().numpy()
+                   for k, v in model.state_dict().items()
+                   if not k.endswith("rotary_emb.inv_freq")}
+        container.write_tensors(os.path.join(d, "model.safetensors"),
+                                tensors, {})
+        with open(os.path.join(d, "config.json"), "w") as f:
+            json.dump(hf_cfg, f)
+        _mini_tokenizer_json(d, hf_cfg["vocab_size"])
+        with open(marker, "w") as f:
+            f.write("trained\n")
+        print(f"# trained {d}")
+
+
 # -- the gate ----------------------------------------------------------------
 
 class Gate:
@@ -310,6 +390,12 @@ def main(argv=None):
     ap.add_argument("root", nargs="?", help="directory of HF checkpoint dirs")
     ap.add_argument("--selftest", action="store_true",
                     help="synthesize tiny checkpoints and run the full gate")
+    ap.add_argument("--trained", action="store_true",
+                    help="no-network quality fallback: TRAIN tiny llamas "
+                         "on the ppl text, then run the gate with deltas "
+                         "ENFORCED (format ordering is meaningful on a "
+                         "trained model, unlike --selftest's random one)")
+    ap.add_argument("--train-steps", type=int, default=1500)
     ap.add_argument("--configs", default="",
                     help="comma-separated config ids (default: all found)")
     ap.add_argument("--steps", type=int, default=0,
@@ -325,7 +411,13 @@ def main(argv=None):
                          "checkpoints, not synthetic ones)")
     args = ap.parse_args(argv)
 
-    if args.selftest:
+    if args.trained:
+        args.root = args.root or "/tmp/calm_accept_trained"
+        if not args.configs:
+            args.configs = "2,3"  # the two delta-anchored configs
+        args.enforce_deltas = True
+        train_tiny(args.root, args.pplx, steps=args.train_steps)
+    elif args.selftest:
         args.root = args.root or "/tmp/calm_accept_selftest"
         if not args.ppl_chars:
             args.ppl_chars = 2000
