@@ -72,7 +72,10 @@ def bench_decode(cfg: ModelConfig, kv_dtype, steps: int, pos0: int,
     (README.md:86,111). Returns (seconds for ``steps`` tokens, tokens)."""
     import numpy as np
 
-    w = M.fuse_gf4_weights(synth_weights(cfg), cfg)
+    # gf4 MoE: fill the fused layouts directly — the on-device massage's
+    # one-weight-stack transient OOMs the chip at Mixtral geometry
+    fused = cfg.dtype == "gf4" and cfg.n_experts and cfg.hidden_dim % 8 == 0
+    w = M.fuse_gf4_weights(synth_weights(cfg, fused=bool(fused)), cfg)
     jax.block_until_ready(w)
 
     def run(n):
@@ -100,6 +103,41 @@ def bench_decode(cfg: ModelConfig, kv_dtype, steps: int, pos0: int,
     return max(t2 - t1, 1e-9), toks
 
 
+def bench_prefill(cfg: ModelConfig, kv_dtype, T: int, repeats: int = 3):
+    """Marginal prefill chunk time via the same slope method as decode:
+    time 1-chunk and 2-chunk prompt ingestion (chunk = (1, T) tokens) and
+    difference, so compile/launch cancels and the measured chunk is the
+    SECOND one (attending over T prior context — matching the historical
+    chunked-prefill methodology in docs/PERF_NOTES.md). Returns seconds
+    for one T-token chunk."""
+    import numpy as np
+
+    fused = cfg.dtype == "gf4" and cfg.n_experts and cfg.hidden_dim % 8 == 0
+    w = M.fuse_gf4_weights(synth_weights(cfg, fused=bool(fused)), cfg)
+    jax.block_until_ready(w)
+    tokens = jnp.zeros((1, T), jnp.int32)
+
+    def run(n_chunks):
+        best = None
+        for r in range(repeats + 1):
+            cache = M.KVCache.create(cfg, 1, kv_dtype)
+            t0 = time.perf_counter()
+            logits = None
+            for c in range(n_chunks):
+                pos0 = jnp.full((1,), c * T, jnp.int32)
+                logits, cache = M.prefill(cfg, w, tokens, pos0, cache)
+            np.asarray(logits)  # fence (block_until_ready lies on axon)
+            dt = time.perf_counter() - t0
+            if r > 0:
+                best = dt if best is None else min(best, dt)
+            del cache
+        return best
+
+    t1 = run(1)
+    t2 = run(2)
+    return max(t2 - t1, 1e-9)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="mistral7b", choices=sorted(SHAPES))
@@ -110,6 +148,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=1,
                     help="decode slots (batched serving throughput; the "
                          "weight stream amortizes across slots)")
+    ap.add_argument("--prefill", type=int, default=0, metavar="T",
+                    help="measure prompt-ingestion tok/s for a T-token "
+                         "chunk instead of decode (prefill is MXU/compute-"
+                         "bound, reported vs the bf16 matmul roofline)")
     args = ap.parse_args(argv)
 
     import os
@@ -129,6 +171,33 @@ def main(argv=None):
                 "fp8": jnp.float8_e5m2}[args.kv]
     kv_bits = 8 if args.kv == "fp8" else 16
     total_bytes, bw_bytes = weight_bytes(cfg)
+
+    if args.prefill:
+        if args.ctx < 2 * args.prefill:
+            ap.error("--ctx must be >= 2*T so the two-chunk slope fits")
+        T = args.prefill
+        secs = bench_prefill(cfg, kv_dtype, T)
+        tok_s = T / secs
+        # prefill is compute-bound: report vs the bf16 MXU roofline.
+        # flops/token ~= 2 * active weight params, head excluded (logits
+        # once per chunk); attention flops are <1% at these contexts.
+        bits = {"fp16": 16, "fp8": 8, "fp8e4": 8, "gf4": 4}[cfg.dtype]
+        head_bytes = cfg.vocab_size * cfg.dim * bits // 8
+        params_act = (bw_bytes - head_bytes) * 8 // bits
+        achieved_tf = 2 * params_act * tok_s / 1e12
+        peak_tf = {"TPU v4": 275.0, "TPU v5 lite": 197.0,
+                   "TPU v5p": 459.0, "TPU v6 lite": 918.0}.get(
+                       topo.device_kind)
+        print(f"# prefill T={T}: {tok_s:.0f} tok/s, "
+              f"{secs * 1000:.1f} ms/chunk, {achieved_tf:.1f} TFLOP/s"
+              + (f" = {100 * achieved_tf / peak_tf:.1f}% of bf16 MXU peak"
+                 if peak_tf else ""), file=sys.stderr)
+        out = {"metric": f"prefill_tok_s_{args.model}_{args.dtype}",
+               "value": round(tok_s, 1), "unit": "tok/s"}
+        if peak_tf:
+            out["pct_mxu_peak"] = round(100 * achieved_tf / peak_tf, 2)
+        print(json.dumps(out))
+        return
 
     if args.ctx < 2 * args.steps + 1:
         ap.error(f"--ctx must be >= 2*steps+1 ({2 * args.steps + 1}) so the "

@@ -108,8 +108,10 @@ class Engine:
             wkey = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
             w = _WEIGHTS_CACHE.get(wkey)
             if w is None:
-                w = M.fuse_gf4_weights(M.load_weights(self.tf, self.cfg),
-                                       self.cfg)
+                # host-side fusion: permutations run in numpy over the
+                # memmap, so the chip never pays the one-weight-stack
+                # massage transient (OOM at Mixtral-geometry gf4 sizes)
+                w = M.load_weights_fused(self.tf, self.cfg)
                 _WEIGHTS_CACHE[wkey] = w
             self.weights = w
         self.batch = batch

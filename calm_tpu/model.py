@@ -291,7 +291,7 @@ def _is_desc(x):
 
 def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
                      reserve_bytes: int = 0,
-                     epilogue: bool = True) -> Weights:
+                     epilogue: bool = True, xp=jnp) -> Weights:
     """Re-lay-out gf4 weights into the plane-major decode layouts IN PLACE
     of the naturals — the TPU analogue of the Metal backend's load-time
     weight massage (src/infer.m:134-164) taken to its conclusion: every
@@ -317,7 +317,12 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
 
     Also runs as a TRACED function (inside shard_map for per-shard fusion
     of tp/ep-sharded weights): all layout ops are jnp, and the transient-
-    management block_until_ready is skipped on tracers."""
+    management block_until_ready is skipped on tracers.
+
+    ``xp=numpy`` runs the same permutations on a HOST pytree (numpy
+    leaves) — used by load_weights_fused so big models never pay the
+    device-side permutation transient (a Mixtral-geometry 12 GiB gf4
+    expert stack + its 3.8 GiB transpose output OOMs the 16 GiB chip)."""
     del reserve_bytes
     if (cfg.dtype != "gf4" or w.layers.w1p is not None
             or w.layers.w1pe is not None
@@ -326,7 +331,7 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
     layers = w.layers
 
     def take(field):
-        d = jnp.asarray(getattr(layers, field).data)
+        d = xp.asarray(getattr(layers, field).data)
         setattr(layers, field, None)
         return d
 
@@ -338,8 +343,8 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
     # qkv row-concat: one kernel call instead of three. The concat is the
     # only non-permutation (it copies); drop the originals right after so
     # the transient is one qkv group, not two.
-    wqkv = settle(jnp.concatenate([take("wq"), take("wk"), take("wv")],
-                                  axis=1))
+    wqkv = settle(xp.concatenate([take("wq"), take("wk"), take("wv")],
+                                 axis=1))
     if cfg.n_experts:
         # MoE: per-expert plane-major w1/w3 feed the one-call fused FFN
         # sweep (pallas_qmm.gf4_moe_ffn); w2 stays NATURAL — the fused
@@ -380,9 +385,9 @@ def fuse_gf4_weights(w: Weights, cfg: ModelConfig,
         w2tp = settle(w2t.reshape(L, H // 8, gd, 8).transpose(0, 1, 3, 2)
                       .reshape(L, H // 8, D))
         w2t = None
-        an_pl = (jnp.asarray(layers.attn_norm)
+        an_pl = (xp.asarray(layers.attn_norm)
                  .reshape(L, gd, 8).transpose(0, 2, 1).reshape(L, D))
-        fn_pl = (jnp.asarray(layers.ffn_norm)
+        fn_pl = (xp.asarray(layers.ffn_norm)
                  .reshape(L, gd, 8).transpose(0, 2, 1))
         layers = dataclasses.replace(
             layers, w1p=w1p, w3p=w3p, wqkv=wqkv,
@@ -406,6 +411,37 @@ def load_weights(tf: TensorFile, cfg: ModelConfig) -> Weights:
         return fetched[key]
 
     return jax.tree.map(materialize, descs, is_leaf=_is_desc)
+
+
+def load_weights_fused(tf: TensorFile, cfg: ModelConfig) -> Weights:
+    """Load + gf4-fuse with the permutations run on HOST (numpy over the
+    memmap'd naturals), then upload the finished layouts. Bit-identical to
+    fuse_gf4_weights(load_weights(...)) — the permutations move the same
+    packed words — but the device never holds a natural + its permutation
+    simultaneously: the device-side massage transposes a full weight stack
+    (one 3.8 GiB transient for a Mixtral-geometry expert stack on top of
+    ~12 GiB resident = OOM on a 16 GiB v5e). No-op fusion for non-gf4."""
+    descs = weight_descs(tf, cfg)
+    fetched: dict[int, np.ndarray] = {}  # tied embed/output fetch once
+
+    def materialize(d: WeightDesc):
+        key = id(d)
+        if key not in fetched:
+            fetched[key] = d.fetch()
+        return fetched[key]
+
+    host = jax.tree.map(materialize, descs, is_leaf=_is_desc)
+    host = fuse_gf4_weights(host, cfg, xp=np)
+
+    uploaded: dict[int, jax.Array] = {}  # keep tied tensors tied on device
+
+    def upload(x):
+        key = id(x)
+        if key not in uploaded:
+            uploaded[key] = jnp.asarray(x)
+        return uploaded[key]
+
+    return jax.tree.map(upload, host)
 
 
 # ---------------------------------------------------------------------------

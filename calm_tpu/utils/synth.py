@@ -49,8 +49,18 @@ def _fill(shape, fmt: str, seed: int = 0):
     raise ValueError(fmt)
 
 
-def synth_weights(cfg: ModelConfig, seed: int = 0) -> Weights:
-    """Device-resident random weights with the exact container layouts."""
+def synth_weights(cfg: ModelConfig, seed: int = 0,
+                  fused: bool = False) -> Weights:
+    """Device-resident random weights with the exact container layouts.
+
+    ``fused=True`` (gf4 MoE only) fills the fused decode layouts
+    (wqkv / per-expert plane-major w1pe/w3pe) DIRECTLY instead of filling
+    naturals and permuting: the device-side permutation holds a natural
+    stack plus its transpose simultaneously (~3.8 GiB transient at
+    Mixtral geometry on ~12 GiB resident = OOM on 16 GiB v5e). Values
+    differ from fuse_gf4_weights(synth_weights(...)) — fine for
+    bandwidth benchmarks, NOT for golden-hash pins. Real checkpoints
+    take the equivalent host-side route (model.load_weights_fused)."""
     fmt = cfg.dtype
     gs = 8 if fmt == "gf4" else 1
     D, Hd, Q, KV, V, E, L = (cfg.dim, cfg.hidden_dim, cfg.q_dim, cfg.kv_dim,
@@ -73,24 +83,40 @@ def synth_weights(cfg: ModelConfig, seed: int = 0) -> Weights:
     def f32(*shape):
         return _fill(tuple(shape), "f32", nxt())
 
-    if E:
+    if fused and not (fmt == "gf4" and E and Hd % 8 == 0):
+        raise ValueError("fused synth is the gf4-MoE OOM workaround only")
+
+    fe = dict(w1pe=None, w3pe=None, wqkv=None)
+    if E and not fused:
         w1 = qt(L, E, Hd, D // gs)
-        w2 = qt(L, E, D, Hd // gs)
         w3 = qt(L, E, Hd, D // gs)
-        moegate = qt(L, E, D // gs)
+    elif E:
+        # fused decode layouts generated in place of the naturals (the
+        # shapes fuse_gf4_weights would build: plane-major expert stacks
+        # + row-concat qkv); fuse_gf4_weights no-ops on the result
+        w1 = w3 = None
+        fe = dict(w1pe=_fill((L, E, 8, Hd // 8, D // gs), fmt, nxt()),
+                  w3pe=_fill((L, E, 8, Hd // 8, D // gs), fmt, nxt()),
+                  wqkv=_fill((L, Q + 2 * KV, D // gs), fmt, nxt()))
     else:
         w1 = qt(L, Hd, D // gs)
-        w2 = qt(L, D, Hd // gs)
         w3 = qt(L, Hd, D // gs)
+    if E:
+        w2 = qt(L, E, D, Hd // gs)
+        moegate = qt(L, E, D // gs)
+    else:
+        w2 = qt(L, D, Hd // gs)
         moegate = None
 
     layers = LayerWeights(
         attn_norm=f32(L, D), ffn_norm=f32(L, D),
-        wq=qt(L, Q, D // gs), wk=qt(L, KV, D // gs), wv=qt(L, KV, D // gs),
+        wq=None if fused else qt(L, Q, D // gs),
+        wk=None if fused else qt(L, KV, D // gs),
+        wv=None if fused else qt(L, KV, D // gs),
         wo=qt(L, D, Q // gs),
         bq=jnp.zeros((L, Q), jnp.float32), bk=jnp.zeros((L, KV), jnp.float32),
         bv=jnp.zeros((L, KV), jnp.float32),
-        w1=w1, w2=w2, w3=w3, moegate=moegate)
+        w1=w1, w2=w2, w3=w3, moegate=moegate, **fe)
 
     return Weights(embed=qt(V, D // gs), layers=layers,
                    final_norm=f32(D), output=qt(V, D // gs))

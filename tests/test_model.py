@@ -216,6 +216,52 @@ def test_fuse_gf4_zero_copy(tmp_path):
         rtol=2e-2, atol=2e-2)  # bf16 cache rows
 
 
+def test_load_weights_fused_bit_exact(tmp_path):
+    """load_weights_fused (host-side numpy permutations over the memmap)
+    produces leaf-for-leaf BIT-identical pytrees to the device-side
+    fuse_gf4_weights(load_weights(...)) route, for dense gf4, MoE gf4, and
+    the non-gf4 passthrough. The host route exists because the device
+    massage holds a natural weight stack plus its transpose simultaneously
+    (OOM at Mixtral-geometry gf4 sizes on a 16 GiB chip)."""
+    import jax
+    import numpy as np
+
+    from calm_tpu import container
+    from calm_tpu import model as M
+    from tests.modelgen import tiny_config, write_tiny_model
+
+    for kw in (dict(dtype="gf4"), dict(dtype="gf4", moe=True),
+               dict(dtype="gf4", norm_par=True), dict(dtype="fp8")):
+        cfg = tiny_config(**kw)
+        path = str(tmp_path / f"m_{kw.get('dtype')}_{kw.get('moe', 0)}"
+                   f"_{kw.get('norm_par', 0)}.calm")
+        write_tiny_model(path, cfg)
+        tf = container.TensorFile(path)
+        want = M.fuse_gf4_weights(M.load_weights(tf, cfg), cfg)
+        got = M.load_weights_fused(tf, cfg)
+        wl, gl = jax.tree.leaves(want), jax.tree.leaves(got)
+        assert len(wl) == len(gl)
+        for a, b in zip(wl, gl):
+            assert a.dtype == b.dtype and a.shape == b.shape
+            np.testing.assert_array_equal(
+                np.asarray(a).view(np.uint8), np.asarray(b).view(np.uint8))
+
+
+def test_load_weights_fused_tied(tmp_path):
+    """tied embed/output stays ONE device buffer through the host-fused
+    loader (the upload memo dedups by host-array identity)."""
+    from calm_tpu import container
+    from calm_tpu import model as M
+    from tests.modelgen import tiny_config, write_tiny_model
+
+    cfg = tiny_config(dtype="gf4")
+    path = str(tmp_path / "tied.calm")
+    write_tiny_model(path, cfg, tied=True)
+    tf = container.TensorFile(path)
+    w = M.load_weights_fused(tf, cfg)
+    assert w.embed.data is w.output.data
+
+
 def test_fuse_gf4_norm_par_tier(tmp_path):
     """norm_par (Cohere-style) models skip the offn epilogue (the fused
     epilogue needs a post-attn norm) but still drop every natural: wo
