@@ -62,14 +62,30 @@ SHAPES = {
 
 
 def bench_decode(cfg: ModelConfig, kv_dtype, steps: int, pos0: int,
-                 repeats: int = 5, batch: int = 1):
+                 repeats: int = 5, batch: int = 1, passes: int = 3,
+                 max_passes: int = 6, spread_gate: float = 2.0):
     """Marginal per-step decode time via the slope method: time scans of
     ``steps`` and ``2*steps`` tokens and difference them, so the per-program
     launch cost cancels (through the axon tunnel a launch is ~27 ms of RPC
     — 0.8 ms/token of pure measurement artifact at 32 steps; on a
     chip-local deployment launches are microseconds). Both windows start at
     pos0, matching the reference's 32-token-window protocol
-    (README.md:86,111). Returns (seconds for ``steps`` tokens, tokens)."""
+    (README.md:86,111).
+
+    Variance defense (VERDICT r4 weak #1: single-shot captures drifted
+    657-675 GB/s across tunnel sessions while the code improved): the whole
+    slope measurement runs ``passes`` independent times — each pass takes
+    min-of-``repeats`` for both windows, so a pass is a full measurement,
+    not one sample — and the reported slope is the MEDIAN of passes. If the
+    pass spread ((max-min)/median) exceeds ``spread_gate`` percent, extra
+    passes run (up to ``max_passes``) and the spread is reported either
+    way so a noisy session is visible in the artifact instead of silently
+    becoming the official number. Compile happens once; extra passes cost
+    only timed runs.
+
+    Returns (median seconds for ``steps`` tokens, spread_pct, tokens)."""
+    import statistics
+
     import numpy as np
 
     # gf4 MoE: fill the fused layouts directly — the on-device massage's
@@ -78,10 +94,14 @@ def bench_decode(cfg: ModelConfig, kv_dtype, steps: int, pos0: int,
     w = M.fuse_gf4_weights(synth_weights(cfg, fused=bool(fused)), cfg)
     jax.block_until_ready(w)
 
+    compiled = set()
+
     def run(n):
+        first = n not in compiled  # first call at this length compiles
+        compiled.add(n)
         best = None
         toks = None
-        for r in range(repeats + 1):
+        for r in range(repeats + (1 if first else 0)):
             cache = M.KVCache.create(cfg, batch, kv_dtype)
             token = jnp.zeros((batch,), jnp.int32)
             start = jnp.full((batch,), pos0, jnp.int32)
@@ -93,14 +113,35 @@ def bench_decode(cfg: ModelConfig, kv_dtype, steps: int, pos0: int,
             # block_until_ready returns before execution finishes
             toks = np.asarray(toks)
             dt = time.perf_counter() - t0
-            if r > 0:  # first run includes compile
+            if not (first and r == 0):  # drop the compile run
                 best = dt if best is None else min(best, dt)
             del cache
         return best, toks
 
-    t1, toks = run(steps)
-    t2, _ = run(2 * steps)
-    return max(t2 - t1, 1e-9), toks
+    slopes = []
+    toks = None
+    while len(slopes) < passes or (len(slopes) < max_passes
+                                   and _spread_pct(slopes) > spread_gate):
+        t1, toks = run(steps)
+        t2, _ = run(2 * steps)
+        slopes.append(max(t2 - t1, 1e-9))
+
+    spread = _spread_pct(slopes)
+    if spread > spread_gate:
+        print(f"# WARNING: slope spread {spread:.1f}% > {spread_gate:.0f}% "
+              f"after {len(slopes)} passes — noisy tunnel session, treat "
+              "the captured number with suspicion "
+              f"(passes: {[round(s * 1000, 2) for s in slopes]} ms)",
+              file=sys.stderr)
+    return statistics.median(slopes), spread, toks
+
+
+def _spread_pct(slopes):
+    if len(slopes) < 2:
+        return float("inf")
+    import statistics
+    med = statistics.median(slopes)
+    return 100.0 * (max(slopes) - min(slopes)) / med
 
 
 def bench_prefill(cfg: ModelConfig, kv_dtype, T: int, repeats: int = 3):
@@ -210,19 +251,21 @@ def main(argv=None):
     for name, pos0 in (("first32",
                         max(0, min(2000, args.ctx // 2) - args.steps)),
                        ("last32", args.ctx - 2 * args.steps - 1)):
-        secs, _ = bench_decode(cfg, kv_dtype, args.steps, pos0,
-                               batch=args.batch)
+        secs, spread, _ = bench_decode(cfg, kv_dtype, args.steps, pos0,
+                                       batch=args.batch)
         read = sum(bw_bytes + args.batch * kv_cache_bytes(
             cfg, kv_bits, pos0 + args.steps + i) for i in range(args.steps))
         results[name] = dict(
             tok_s=args.batch * args.steps / secs,
             gb_s=read / 1e9 / secs,
             ms_tok=secs * 1000 / args.steps,
+            spread_pct=spread,
         )
         print(f"# {name}: {results[name]['tok_s']:.1f} tok/s"
               f"{f' (batch {args.batch})' if args.batch > 1 else ''}, "
               f"{results[name]['gb_s']:.1f} GB/s, "
-              f"{results[name]['ms_tok']:.2f} ms/step", file=sys.stderr)
+              f"{results[name]['ms_tok']:.2f} ms/step "
+              f"(median of passes, spread {spread:.1f}%)", file=sys.stderr)
 
     gb_s = results["first32"]["gb_s"]
     pct_sol = 100.0 * gb_s / topo.hbm_gbps_per_chip
@@ -246,6 +289,8 @@ def main(argv=None):
         "value": round(pct_sol, 2),
         "unit": "% of HBM speed-of-light",
         "vs_baseline": round(pct_sol / 92.0, 4),
+        "spread_pct": round(results["first32"]["spread_pct"], 2),
+        "gb_s": round(gb_s, 1),
     }
     if attainable:
         out["pct_of_attainable_ceiling"] = round(100.0 * gb_s / attainable, 2)

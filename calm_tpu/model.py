@@ -616,6 +616,11 @@ def _attention(cfg: ModelConfig, q, kc, vc, layer, q_pos, kv_len,
         # plain context below the tree plus its ANCESTORS only — the
         # flat-causal rule would let siblings leak across lanes
         N = tree.shape[0]
+        # tree[None] broadcast to (B, T, N) below assumes query t IS tree
+        # node t; a caller passing a tree whose node count differs from the
+        # query count would get silently wrong masking if shapes happened
+        # to broadcast
+        assert T == N, f"tree verify needs one query per node (T={T}, N={N})"
         p0 = kv_len[:, None, None] - N                         # (B, 1, 1)
         in_tree = (s_idx >= p0) & (s_idx < kv_len[:, None, None])
         col = jnp.clip(s_idx - p0, 0, N - 1)                   # (B, 1, S)

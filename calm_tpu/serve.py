@@ -833,10 +833,13 @@ class Server:
         """One scheduler tick: admit new requests, one decode step for all.
         Under multi-process dp every process must call tick() in lockstep
         (run_until_drained does)."""
-        try:
-            return self._tick()
-        finally:
-            self._last_tick_at = time.monotonic()  # watchdog liveness stamp
+        out = self._tick()
+        # watchdog liveness stamp AFTER a successful tick only: a serving
+        # loop that catches and retries a continuously-raising _tick() must
+        # look STALLED to the watchdog (that failure mode is exactly what
+        # it exists to catch), so a raise propagates without stamping
+        self._last_tick_at = time.monotonic()
+        return out
 
     def _tick(self):
         self._sweep()

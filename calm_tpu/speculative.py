@@ -487,6 +487,14 @@ def tree_speculative_generate(target: Engine, draft: Engine,
         # 5) relocate the winning lane's rows onto the contiguous span and
         #    share its chain history across draft lanes (next round's scan
         #    must see the accepted context in every lane)
+        #
+        # INVARIANT (overwrite-before-read): all m-1 lane rows move, even
+        # past the accepted span — the stale tail rows are safe only
+        # because every later round REWRITES rows >= the new position
+        # before anything attends to them (each round writes its full
+        # k*(m-1) tree block at the current frontier, and N >= m). A change
+        # that lets a round attend beyond its own frontier (variable tree
+        # shapes, skipping the verify) must mask or zero the moved tail.
         lane_i = 0 if lane is None else lane
         target.cache = M.cache_move_rows(
             target.cache, jnp.int32(p + 1 + lane_i * (m - 1)),
