@@ -27,6 +27,10 @@ if os.environ.get("CALM_CPU", "0") == "1":
     # JAX_PLATFORMS, force via config BEFORE any backend init
     jax.config.update("jax_platforms", "cpu")
 
+from calm_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import jax.numpy as jnp
 
 from calm_tpu.config import ModelConfig

@@ -23,6 +23,10 @@ if os.environ.get("CALM_CPU", "0") == "1":
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+from calm_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from calm_tpu.container import ContainerError
 from calm_tpu.engine import Engine, chat_loop
 

@@ -1131,6 +1131,15 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
                        if defer else None), None
 
 
+import os as _os_mod
+
+# Rotated gf4 fusion boundary (pallas_qmm.gf4_offn_qkv): each layer's
+# supercall projects the NEXT layer's qkv as extra grid steps, so the
+# per-layer wqkv call (and its ~13-16 us boundary stall) disappears.
+# Read ONCE at import: toggling the env after the first compile would be
+# silently ignored by jit caching.
+ROTATED_DECODE = _os_mod.environ.get("CALM_ROT", "1") == "1"
+
 LAYER_UNROLL = 1  # lax.scan unroll factor over layers. MEASURED on v5e:
                   # unroll=1 streams layer weights at ~708 GB/s; unroll=8
                   # collapses to ~222 GB/s (the unrolled body defeats XLA's
@@ -1172,13 +1181,11 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
         # carry the residual plane-permuted across the whole layer scan
         # (one 16 KB transpose in, one out — per step, not per layer)
         x = x.reshape(B, D // 8, 8).transpose(0, 2, 1)
-        import os as _os
-        rot = _os.environ.get("CALM_ROT", "0") == "1"
-        # rotated fusion boundary is EXPERIMENTAL (CALM_ROT=1): on hw the
-        # merged kernel runs at 215 GB/s vs 374 for the separate pair —
-        # the 5th weight stream appears to defeat Mosaic's input pipeline
-        # (docs/PERF_NOTES.md round-4) — keep off until that's solved
-        if (rot and lw.an_pl is not None
+        # rotated fusion boundary (flat-grid offn_qkv supercall): ON by
+        # default; CALM_ROT=0 falls back to the separate offn + wqkv pair.
+        # Read once at import (ROTATED_DECODE) — a trace-time env read is
+        # silently ignored after the first compile (jit caching).
+        if (ROTATED_DECODE and lw.an_pl is not None
                 and n_layers == lw.wqkv.shape[0]):
             # rotated fusion boundary: prime the carry with layer 0's
             # qkv; every later layer's arrives from its predecessor's

@@ -715,34 +715,41 @@ def gf4_offn(a_pl, r_pl, g_pl, wo_p, w1p, w3p, w2tp, layer, act_gelu: bool,
 
 def _gf4_offn_qkv_kernel(lref, a_ref, r_ref, g_ref, anx_ref, wo_ref, w1_ref,
                          w3_ref, w2_ref, wqkv_ref, x_ref, qkv_ref,
-                         o_acc, r1_ref, xn_ref, *, tc: int,
-                         g_h: int, act_gelu: bool, eps: float,
-                         sub_mean: bool, n_tiles: int, n_layers: int):
+                         o_acc, r1_ref, xn_ref, *, tc: int, tr: int,
+                         g_h: int, t_ffn: int, act_gelu: bool, eps: float,
+                         sub_mean: bool):
     """offn (wo + residual + ffn-norm + FFN) PLUS the next layer's
     attn-norm and fused qkv projection, all in one pallas call.
 
-    Rotating the fusion boundary moves the wqkv matvec from its own
-    in-scan call (traced 310 GB/s: ~27 us of VPU decode + ~13 us call
-    boundary at 12.6 MB) into the big epilogue call where its weight DMA
-    hides under ~200 us of FFN decode: the packed wqkv bytes for layer
-    l+1 stream via an explicit async copy issued at grid step 0 and
-    waited at the epilogue step. The scan carry becomes (x, qkv): layer
-    l's body consumes the qkv its predecessor projected (the TPU
-    analogue of the reference megakernel keeping all stages of a token
-    in one launch, src/infer.cu:404-626).
+    FLAT-GRID phase switch: the grid is (t_ffn + t_qkv,) — steps
+    0..t_ffn-1 run the fused-FFN tile math (step 0 doubling as the wo +
+    residual + ffn-norm prologue, exactly _gf4_offn_kernel), step
+    t_ffn-1 additionally closes the residual (x_new = r1 + ffn), norms
+    it with the NEXT layer's attn-norm weights into the xn scratch, and
+    steps t_ffn.. project qkv row tiles from xn against streamed
+    (tr, D/8) tiles of wqkv[l+1]. Rotating the fusion boundary moves
+    the wqkv matvec from its own in-scan call (traced 310 GB/s: VPU
+    decode + a ~13-16 us call boundary at 12.6 MB) into this call's
+    tail, where its tiles stream through the SAME double-buffered
+    pipeline as the FFN tiles (the earlier formulation — wqkv as one
+    (1, R, G) block landing at the last step — measured +218 us/layer:
+    a 12.6 MB single-block DMA defeats the input pipeline; tile it
+    like everything else). The scan carry becomes (x, qkv): layer l's
+    body consumes the qkv its predecessor projected — the TPU analogue
+    of the reference megakernel keeping all stages of a token in one
+    launch (src/infer.cu:404-626).
 
-    Grid: (n_tiles,) — same shape as _gf4_offn (affine block-index maps,
-    so Mosaic's double-buffering stays intact; a trailing +1 epilogue
-    step with clamped `min(i, n_tiles-1)` maps measured 515 us/call vs
-    299 for the separate pair — the non-affine maps defeated the
-    pipeline). Step 0 = wo prologue; the LAST step additionally adds
-    r_new = r1 + ffn, norms it with the NEXT layer's attn-norm weights,
-    and projects qkv from the VMEM-landed wqkv.
+    During FFN steps the wqkv index map clamps to tile 0, so its first
+    tile's DMA is issued at call start and drains under the wo
+    prologue compute; during qkv steps the FFN weight maps clamp to
+    their last tile, so no re-DMA occurs (same trick as the MoE
+    sweep's dead-slot maps, _gf4_moe_ffn).
     """
     i = pl.program_id(0)
     B = a_ref.shape[0]
     G = r_ref.shape[2]
     D = 8 * G
+
     @pl.when(i == 0)
     def _():
         ms = jnp.zeros((B, 1), jnp.float32)
@@ -762,61 +769,57 @@ def _gf4_offn_qkv_kernel(lref, a_ref, r_ref, g_ref, anx_ref, wo_ref, w1_ref,
             xn_ref[:, k, :] = ((r1_ref[:, k, :] - mu) * rms
                                * g_ref[0, k, :][None, :])
 
-    h1 = _gf4_plane_dot(xn_ref[:], w1_ref[0], 8 * tc)
-    h3 = _gf4_plane_dot(xn_ref[:], w3_ref[0], 8 * tc)
-    if act_gelu:
-        ga = 0.7978845608028654  # sqrt(2/pi); tanh-approx gelu
-        a = 0.5 * h1 * (1.0 + jnp.tanh(ga * (h1 + 0.044715 * h1 ** 3)))
-    else:
-        a = h1 * (1.0 / (1.0 + jnp.exp(-h1)))  # silu
-    h = a * h3
-    if g_h % tc:  # compiled out when the grid tiles H/8 exactly
-        col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
-        h = jnp.where(i * tc + col % tc < g_h, h, 0.0)
-    acc = _gf4_w2_dot(h, pltpu.bitcast(w2_ref[0], jnp.uint32), tc)
-
-    @pl.when(i == 0)
+    @pl.when(i < t_ffn)
     def _():
-        o_acc[:] = acc
+        h1 = _gf4_plane_dot(xn_ref[:], w1_ref[0], 8 * tc)
+        h3 = _gf4_plane_dot(xn_ref[:], w3_ref[0], 8 * tc)
+        if act_gelu:
+            ga = 0.7978845608028654  # sqrt(2/pi); tanh-approx gelu
+            a = 0.5 * h1 * (1.0 + jnp.tanh(ga * (h1 + 0.044715 * h1 ** 3)))
+        else:
+            a = h1 * (1.0 / (1.0 + jnp.exp(-h1)))  # silu
+        h = a * h3
+        if g_h % tc:  # compiled out when the grid tiles H/8 exactly
+            col = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+            h = jnp.where(i * tc + col % tc < g_h, h, 0.0)
+        acc = _gf4_w2_dot(h, pltpu.bitcast(w2_ref[0], jnp.uint32), tc)
 
-    @pl.when(i > 0)
-    def _():
-        o_acc[:] = o_acc[:] + acc
+        @pl.when(i == 0)
+        def _():
+            o_acc[:] = acc
 
-    @pl.when(i == n_tiles - 1)
+        @pl.when(i > 0)
+        def _():
+            o_acc[:] = o_acc[:] + acc
+
+        @pl.when(i == t_ffn - 1)
+        def _():
+            # r_new = r1 + ffn; the w2tp output columns are permuted so
+            # the flat ffn accumulator is already in planar order. xn is
+            # dead after this step's h1/h3 dots — reuse it for the next
+            # layer's normed input.
+            ms = jnp.zeros((B, 1), jnp.float32)
+            for k in range(8):
+                xk = r1_ref[:, k, :] + o_acc[:, k * G:(k + 1) * G]
+                x_ref[:, k, :] = xk
+                if sub_mean:
+                    ms = ms + jnp.sum(xk, axis=-1, keepdims=True)
+            mu = ms / D
+            ss = jnp.zeros((B, 1), jnp.float32)
+            for k in range(8):
+                d = x_ref[:, k, :] - mu
+                ss = ss + jnp.sum(d * d, axis=-1, keepdims=True)
+            rms = jax.lax.rsqrt(ss / D + eps)
+            for k in range(8):
+                xn_ref[:, k, :] = ((x_ref[:, k, :] - mu) * rms
+                                   * anx_ref[0, k, :][None, :])
+
+    @pl.when(i >= t_ffn)
     def _():
-        # r_new = r1 + ffn; the w2tp output columns are permuted so the
-        # flat ffn accumulator is already in planar order
-        ms = jnp.zeros((B, 1), jnp.float32)
-        for k in range(8):
-            xk = r1_ref[:, k, :] + o_acc[:, k * G:(k + 1) * G]
-            x_ref[:, k, :] = xk
-            if sub_mean:
-                ms = ms + jnp.sum(xk, axis=-1, keepdims=True)
-        mu = ms / D
-        ss = jnp.zeros((B, 1), jnp.float32)
-        for k in range(8):
-            d = x_ref[:, k, :] - mu
-            ss = ss + jnp.sum(d * d, axis=-1, keepdims=True)
-        rms = jax.lax.rsqrt(ss / D + eps)
-        for k in range(8):
-            xn_ref[:, k, :] = ((x_ref[:, k, :] - mu) * rms
-                               * anx_ref[0, k, :][None, :])
-        # chunk the qkv projection so the decoded bf16 planes stay small:
-        # a full-R plane materializes (R, G)*2B per plane and inflates the
-        # kernel's worst-case step VMEM, which shrinks the FFN tiles'
-        # double-buffering for EVERY grid step
-        R = qkv_ref.shape[1]
-        rc = R
-        while rc > 1024 and rc % 2 == 0:
-            rc //= 2
-        wq_all = pltpu.bitcast(wqkv_ref[0], jnp.uint32)
-        for c in range(R // rc):
-            qkv_ref[:, c * rc:(c + 1) * rc] = _gf4_plane_dot(
-                xn_ref[:], wq_all[c * rc:(c + 1) * rc], rc)
-        if R % rc:
-            qkv_ref[:, (R // rc) * rc:] = _gf4_plane_dot(
-                xn_ref[:], wq_all[(R // rc) * rc:], R % rc)
+        # qkv tile: rows [j*tr, (j+1)*tr) of wqkv[l+1] against the normed
+        # next-layer input left in xn by step t_ffn-1
+        wu = pltpu.bitcast(wqkv_ref[0], jnp.uint32)  # (tr, G)
+        qkv_ref[:] = _gf4_plane_dot(xn_ref[:], wu, tr)
 
 
 @functools.partial(jax.jit, static_argnames=("act_gelu", "eps", "sub_mean",
@@ -834,14 +837,21 @@ def _gf4_offn_qkv(a_pl, r_pl, g_pl, anx_pl, wo_p, w1p, w3p, w2tp, wqkv,
     D = 8 * G
     # tc = 128 FIXED: see _gf4_offn (tc=256 measured slower on v5e)
     tc = 128
-    n_tiles = pl.cdiv(g_h, tc)
-    grid = (n_tiles,)
+    t_ffn = pl.cdiv(g_h, tc)
+    # qkv row tile: big enough that per-step overhead (~1.5 us) amortizes,
+    # small enough to stream (tr=2048 words x G lanes = 4 MiB at G=512)
+    tr = min(2048, R)
+    t_qkv = pl.cdiv(R, tr)
+    grid = (t_ffn + t_qkv,)
     cost = pl.CostEstimate(
         flops=2 * B * (8 * G * 8 * Gq + 2 * 8 * g_h * 8 * g_d + D * 8 * g_h
                        + R * D),
         bytes_accessed=(8 * G * Gq + 2 * 8 * g_h * g_d + D * g_h
                         + R * G) * 4,
         transcendentals=8 * g_h * B)
+
+    def ffn_i(i):
+        return jnp.minimum(i, t_ffn - 1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=grid,
@@ -857,20 +867,21 @@ def _gf4_offn_qkv(a_pl, r_pl, g_pl, anx_pl, wo_p, w1p, w3p, w2tp, wqkv,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, G, Gq), lambda i, l: (l[0], 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tc, g_d), lambda i, l: (l[0], 0, i, 0),
+            pl.BlockSpec((1, 8, tc, g_d), lambda i, l: (l[0], 0, ffn_i(i), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tc, g_d), lambda i, l: (l[0], 0, i, 0),
+            pl.BlockSpec((1, 8, tc, g_d), lambda i, l: (l[0], 0, ffn_i(i), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tc, D), lambda i, l: (l[0], i, 0),
+            pl.BlockSpec((1, tc, D), lambda i, l: (l[0], ffn_i(i), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, G),
-                         lambda i, l: (jnp.minimum(l[0] + 1, L - 1), 0, 0),
+            pl.BlockSpec((1, tr, G),
+                         lambda i, l: (jnp.minimum(l[0] + 1, L - 1),
+                                       jnp.maximum(i - t_ffn, 0), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((B, 8, G), lambda i, l: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, R), lambda i, l: (0, 0),
+            pl.BlockSpec((B, tr), lambda i, l: (0, jnp.maximum(i - t_ffn, 0)),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -879,9 +890,9 @@ def _gf4_offn_qkv(a_pl, r_pl, g_pl, anx_pl, wo_p, w1p, w3p, w2tp, wqkv,
             pltpu.VMEM((B, 8, G), jnp.float32),
         ])
     return pl.pallas_call(
-        functools.partial(_gf4_offn_qkv_kernel, tc=tc, g_h=g_h,
-                          act_gelu=act_gelu, eps=eps, sub_mean=sub_mean,
-                          n_tiles=n_tiles, n_layers=L),
+        functools.partial(_gf4_offn_qkv_kernel, tc=tc, tr=tr, g_h=g_h,
+                          t_ffn=t_ffn, act_gelu=act_gelu, eps=eps,
+                          sub_mean=sub_mean),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, 8, G), jnp.float32),
                    jax.ShapeDtypeStruct((B, R), jnp.float32)],

@@ -49,6 +49,10 @@ if os.environ.get("CALM_CPU", "0") == "1":
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+from calm_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 
 

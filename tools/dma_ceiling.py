@@ -15,6 +15,10 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
+
+from calm_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 

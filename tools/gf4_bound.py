@@ -24,6 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
+
+from calm_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 from calm_tpu.ops import pallas_qmm  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402

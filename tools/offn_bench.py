@@ -14,6 +14,10 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, ".")
+
+from calm_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 from calm_tpu.ops import pallas_qmm  # noqa: E402
 
 D, Q, H, L = 4096, 4096, 14336, 32  # mistral-7B geometry

@@ -25,6 +25,10 @@ import jax  # noqa: E402
 if os.environ.get("CALM_CPU", "0") == "1":
     # the axon plugin ignores JAX_PLATFORMS; force pre-init
     jax.config.update("jax_platforms", "cpu")
+
+from calm_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

@@ -27,6 +27,10 @@ if os.environ.get("CALM_CPU", "0") == "1":
     # the axon plugin ignores JAX_PLATFORMS; force via config pre-init
     jax.config.update("jax_platforms", "cpu")
 
+from calm_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 
 from calm_tpu import quant  # noqa: E402
