@@ -220,6 +220,24 @@ def sharded_decode_step(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
     return jax.jit(fn, donate_argnums=(3,))
 
 
+def sharded_tree_verify(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
+                        fused: bool = False):
+    """Build the jitted multi-chip tree-verify forward: (w, tokens (1, N),
+    pos0 (1,), depth (N,), tree (N, N) bool, cache) -> (logits (1, N, V),
+    cache). The speculation tree's node lanes ride the T axis; tp shards
+    the heads exactly as in decode, the mask is replicated."""
+    from calm_tpu.model import tree_verify_fn
+    wspecs = weight_pspecs(cfg, plan, fused=fused)
+    cspecs = cache_pspecs(plan)
+
+    fn = shard_map(partial(tree_verify_fn, cfg, plan=plan), mesh=mesh,
+                   in_specs=(wspecs, P(None, None), P(None), P(None),
+                             P(None, None), cspecs),
+                   out_specs=(P(None, None, plan.tp), cspecs),
+                   check_vma=False)
+    return jax.jit(fn, donate_argnums=(5,))
+
+
 def sharded_decode_scan(cfg: ModelConfig, mesh: Mesh, plan: ShardingPlan,
                         n_steps: int, fused: bool = False):
     """Build the jitted multi-chip greedy decode scan: (w, token, pos0,
