@@ -7,7 +7,7 @@
 #   make tpu-smoke   -> on-TPU kernel lowering + fast-vs-reference parity
 #                       gate (catches Mosaic-only regressions the CPU
 #                       interpret-mode suite cannot see)
-.PHONY: all native test fuzz-smoke bench tpu-smoke clean
+.PHONY: all native test test-quick fuzz-smoke bench tpu-smoke clean
 
 all: native
 
@@ -16,6 +16,9 @@ native:
 
 test:
 	python -m pytest tests/ -x -q
+
+test-quick:  # ~3 min inner-loop lane (full suite stays the merge gate)
+	python -m pytest tests/ -x -q -m quick
 
 fuzz-smoke:
 	$(MAKE) -C native fuzz-smoke

@@ -860,7 +860,7 @@ def _moe_ffn(cfg: ModelConfig, xb2, lw: LayerWeights, layer,
 def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
            kv_len, kv_dtype, rolling: bool, rope, plan: ShardingPlan,
            batch_off=None, pt=None, planed: bool = False, qkv_in=None,
-           tree=None):
+           tree=None, qkv_raw=None):
     """One transformer layer on a (B, T, D) activation wave.
 
     ``planed`` (gf4 offn tier, decode T==1 only): x is the plane-permuted
@@ -897,6 +897,11 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         # rotated fusion boundary: the PREVIOUS layer's offn_qkv call
         # already projected this layer's qkv (gf4_offn_qkv) — consume it
         qkv = qkv_in.reshape(B, 1, q_local + 2 * kv_local)
+    elif qkv_raw is not None:
+        # byte-format rotated boundary: the previous layer's qx supercall
+        # projected this layer's q/k/v (pallas_qmm.qx_offn_qkv)
+        qkv = jnp.concatenate(qkv_raw, axis=-1).reshape(
+            B, 1, q_local + 2 * kv_local)
     elif planed:
         from calm_tpu.ops import pallas_qmm
         # norm on the permuted flat vector (rms/mean are permutation-
@@ -1060,6 +1065,24 @@ def _layer(cfg: ModelConfig, x, lw: LayerWeights, layer, kc, vc, pos, kv_pos,
         att = _attention(cfg, q, kc, vc, layer, pos, kv_len, batch_off,
                          fresh=fresh, plan=plan, pt=pt, tree=tree)
 
+    if qkv_raw is not None:
+        # byte-format streaming supercall: wo + residual + ffn-norm + FFN
+        # + next layer's attn-norm + q/k/v in ONE pallas call on NATURAL
+        # weight layouts (pallas_qmm.qx_offn_qkv) — the whole ~215 MB/layer
+        # weight stream rides a single double-buffered pipeline, removing
+        # the dependent-op boundary bubbles of the per-matvec XLA path
+        from calm_tpu.ops import pallas_qmm
+        x_new, qn, kn, vn = pallas_qmm.qx_offn_qkv(
+            att.reshape(B, q_local).astype(jnp.float32),
+            x.reshape(B, D).astype(jnp.float32),
+            lw.ffn_norm, lw.attn_norm,
+            lw.wo.data, lw.w1.data, lw.w3.data, lw.w2.data,
+            lw.wq.data, lw.wk.data, lw.wv.data,
+            layer, lw.wq.fmt, cfg.act_gelu, cfg.norm_eps, cfg.norm_ln)
+        fresh_out = ((kh[0, :, :, 0, :], vh[0, :, :, 0, :])
+                     if defer else None)
+        return x_new.reshape(B, 1, D), kc, vc, fresh_out, (qn, kn, vn)
+
     if planed:
         from calm_tpu.ops import pallas_qmm
         # one tiny XLA transpose (B*Q floats) planarizes the attention
@@ -1198,6 +1221,31 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
                 xb0.reshape(B, 8, D // 8), lw.wqkv, "gf4", jnp.int32(0),
                 pre_planed=True, stage="wqkv")
 
+    qx0 = None
+    if (not planed and T == 1 and tree is None and pt is None
+            and ROTATED_DECODE and pallas_decode_enabled()
+            and plan.tp is None and plan.sp is None and plan.ep is None
+            and not cfg.norm_par and not cfg.n_experts
+            and lw.wq is not None and lw.w1 is not None
+            and lw.wo is not None and lw.w2 is not None
+            and lw.wq.fmt in ("fp8", "fp16") and lw.wq.data.ndim == 3
+            and n_layers == lw.wq.data.shape[0]):
+        from calm_tpu.ops import pallas_qmm
+        from calm_tpu.ops import qmm as _qmm_mod
+        q_local = lw.bq.shape[1]
+        kv_local = lw.bk.shape[1]
+        # --precise runs f32-grade dots; the supercall is bf16-operand
+        if not _qmm_mod._PRECISE and pallas_qmm.qx_offn_supported(
+                lw.wq.fmt, B, (D, lw.w1.data.shape[1], q_local, kv_local)):
+            # prime the carry with layer 0's q/k/v; every later layer's
+            # arrives from its predecessor's qx supercall
+            an0 = jax.lax.dynamic_index_in_dim(lw.attn_norm, 0, 0,
+                                               keepdims=False)
+            xb0 = _norm(cfg, x[:, 0, :], an0)
+            qx0 = (qmatmul(xb0, lw.wq, layer=jnp.int32(0), stage="wqkv"),
+                   qmatmul(xb0, lw.wk, layer=jnp.int32(0), stage="wqkv"),
+                   qmatmul(xb0, lw.wv, layer=jnp.int32(0), stage="wqkv"))
+
     def body(carry, layer):
         if qkv0 is not None:
             x, qkv_c, kc, vc = carry
@@ -1205,6 +1253,13 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
                 cfg, x, w.layers, layer, kc, vc, pos, kv_pos, kv_len,
                 kv_dtype, rolling, rope, plan, batch_off, pt,
                 planed=planed, qkv_in=qkv_c)
+            return (x, qkv_n, kc, vc), fresh
+        if qx0 is not None:
+            x, qkv_c, kc, vc = carry
+            x, kc, vc, fresh, qkv_n = _layer(
+                cfg, x, w.layers, layer, kc, vc, pos, kv_pos, kv_len,
+                kv_dtype, rolling, rope, plan, batch_off, pt,
+                qkv_raw=qkv_c)
             return (x, qkv_n, kc, vc), fresh
         x, kc, vc = carry
         x, kc, vc, fresh, _ = _layer(cfg, x, w.layers, layer, kc, vc, pos,
@@ -1219,6 +1274,10 @@ def _run_layers(cfg: ModelConfig, w: Weights, x, pos, kv_pos, kv_len,
     if qkv0 is not None:
         (x, _, k_new, v_new), fresh = jax.lax.scan(
             body, (x, qkv0, cache.k, cache.v),
+            jnp.arange(n_layers, dtype=jnp.int32), unroll=unroll)
+    elif qx0 is not None:
+        (x, _, k_new, v_new), fresh = jax.lax.scan(
+            body, (x, qx0, cache.k, cache.v),
             jnp.arange(n_layers, dtype=jnp.int32), unroll=unroll)
     else:
         (x, k_new, v_new), fresh = jax.lax.scan(

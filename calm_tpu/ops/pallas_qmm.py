@@ -260,7 +260,7 @@ def _gf4_mm_kernel(lref, xp_ref, w_ref, o_ref, planes_ref):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         acc = d if acc is None else acc + d
-    o_ref[:] = acc
+    o_ref[:] = acc  # xp arrives bf16; astype is a no-op kept for interpret
 
 
 def mm_supported(x_shape, wdata, fmt: str) -> bool:
@@ -281,10 +281,15 @@ def _qmm_mm_jit(stage: str):
     def fn(x, wdata, layer, interpret):
         R, n = x.shape
         L, d, np8 = wdata.shape
-        # row block: bounded by the xp block's VMEM footprint (~4 MiB f32)
-        br = min(256, max(32, (4 << 20) // (4 * n) // 8 * 8), R)
+        # row block: bounded by the xp block's VMEM footprint (~12 MiB at
+        # bf16 — the old 4 MiB f32 budget capped br at 72 rows for
+        # 14336-wide hidden, starving the MXU: the w2t matmul traced
+        # 5.0 ms/layer vs w1's 2.25 at T=2048). The block is fed bf16
+        # (the kernel casts for the dot anyway): half the re-streamed
+        # activation bytes per d-tile, twice the rows per step.
+        br = min(512, max(32, (12 << 20) // (2 * n) // 8 * 8), R)
         td = _pick_tile(d, np8 * 4)
-        xp = x.astype(jnp.float32).reshape(R, np8, 8).transpose(0, 2, 1)
+        xp = x.astype(jnp.bfloat16).reshape(R, np8, 8).transpose(0, 2, 1)
         grid = (pl.cdiv(d, td), pl.cdiv(R, br))  # rows innermost
         cost = pl.CostEstimate(
             flops=2 * R * d * n,
@@ -358,9 +363,9 @@ def _qmm_mmt_jit(stage: str):
     def fn(h_perm, words, layer, interpret):
         R, n = h_perm.shape          # n == H (k-major permuted order)
         L, Hp, D = words.shape
-        br = min(256, max(32, (4 << 20) // (4 * n) // 8 * 8), R)
+        br = min(512, max(32, (12 << 20) // (2 * n) // 8 * 8), R)
         td = _pick_tile(D, Hp * 4)
-        hp = h_perm.astype(jnp.float32).reshape(R, 8, Hp)
+        hp = h_perm.astype(jnp.bfloat16).reshape(R, 8, Hp)
         grid = (pl.cdiv(D, td), pl.cdiv(R, br))
         cost = pl.CostEstimate(
             flops=2 * R * D * n,
@@ -910,6 +915,284 @@ def gf4_offn_qkv(a_pl, r_pl, g_pl, anx_pl, wo_p, w1p, w3p, w2tp, wqkv,
     return _gf4_offn_qkv(a_pl, r_pl, g_pl, anx_pl, wo_p, w1p, w3p, w2tp,
                          wqkv, jnp.asarray(layer, jnp.int32), act_gelu,
                          float(eps), sub_mean, _INTERPRET)
+
+
+# ---------------------------------------------------------------------------
+# byte-format (fp8 e5m2 / fp16) streaming supercall: wo + residual + ffn-norm
+# + FFN + next-layer attn-norm + q/k/v in ONE pallas call on NATURAL layouts
+# ---------------------------------------------------------------------------
+
+
+def _qx_offn_qkv_kernel(lref, a_ref, r_ref, g_ref, anx_ref, wo_ref, w1_ref,
+                        w3_ref, w2_ref, wq_ref, wk_ref, wv_ref,
+                        x_ref, q_ref, k_ref, v_ref,
+                        r1_ref, xn_ref, h_ref, qs_ref, ks_ref, vs_ref, *,
+                        fmt: str, tw: int, th: int, td: int, tq: int,
+                        tk: int, offs, D: int, H: int, Qd: int, KVd: int,
+                        act_gelu: bool, eps: float, sub_mean: bool):
+    """One whole fp8/fp16 layer-epilogue per call, phases on a flat grid:
+
+      [W: wo row tiles]  r1 = r + a @ wo^T; last step norms r1 -> xn
+      [F1: w1/w3 tiles]  h = act(xn @ w1^T) * (xn @ w3^T) into the h scratch
+      [F2: w2 row tiles] x = r1 + h @ w2^T; last step norms x with the NEXT
+                         layer's attn-norm -> xn (reused)
+      [Q/K/V row tiles]  q/k/v = xn @ w^T for wq/wk/wv[l+1]
+
+    Rationale: the XLA per-op path sustains ~675 GB/s on fp8 7B decode —
+    ~92% of the 733 GB/s DMA ceiling — with the missing ~8% sitting in
+    dependent-op boundaries (~0.9 ms/tok, docs/PERF_NOTES.md). One call
+    streams all ~215 MB of a layer's weights through a single
+    double-buffered pipeline: the e5m2->bf16 convert is 1 VPU op/value
+    (~2 us per 8 MB tile vs ~11 us of DMA), so steady state is pure DMA.
+    This is what the reference megakernel does for a whole token
+    (src/infer.cu:404-626); here the unit is a layer and the boundary
+    rotation (qkv of layer l+1) removes the remaining per-layer matvec
+    call. Unlike the gf4 supercall there is NO weight relayout at all —
+    every phase tiles the natural row-major stacks, so the prefill/XLA
+    paths are untouched.
+
+    Partial tiles: scratches are padded to whole tiles and every consumer
+    slices [:, :N] statically — no in-kernel masks. Outputs are written
+    once, at their phase's final step, from the scratches.
+    """
+    i = pl.program_id(0)
+    o_f1, o_f2, o_q, o_k, o_v, n_all = offs
+    B = a_ref.shape[0]
+
+    def deq(ref):
+        return _dequant_tile(ref[0], fmt)
+
+    def norm_into(dst, val, gvec):
+        if sub_mean:
+            mu = jnp.mean(val, axis=-1, keepdims=True)
+            val = val - mu
+        ss = jnp.mean(val * val, axis=-1, keepdims=True)
+        dst[:, :val.shape[1]] = val * jax.lax.rsqrt(ss + eps) * gvec
+
+    @pl.when(i < o_f1)
+    def _():
+        y = jax.lax.dot_general(
+            a_ref[:].astype(jnp.bfloat16), deq(wo_ref),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r1_ref[:, pl.ds(i * tw, tw)] = r_ref[:, pl.ds(i * tw, tw)] + y
+
+        @pl.when(i == o_f1 - 1)
+        def _():
+            norm_into(xn_ref, r1_ref[:, :D], g_ref[0])  # (1, D)
+
+    @pl.when((i >= o_f1) & (i < o_f2))
+    def _():
+        j = i - o_f1
+        xnb = xn_ref[:, :D].astype(jnp.bfloat16)
+        h1 = jax.lax.dot_general(
+            xnb, deq(w1_ref), dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h3 = jax.lax.dot_general(
+            xnb, deq(w3_ref), dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if act_gelu:
+            ga = 0.7978845608028654  # sqrt(2/pi); tanh-approx gelu
+            av = 0.5 * h1 * (1.0 + jnp.tanh(ga * (h1 + 0.044715 * h1 ** 3)))
+        else:
+            av = h1 * (1.0 / (1.0 + jnp.exp(-h1)))  # silu
+        h_ref[:, pl.ds(j * th, th)] = av * h3
+
+    @pl.when((i >= o_f2) & (i < o_q))
+    def _():
+        j = i - o_f2
+        o = jax.lax.dot_general(
+            h_ref[:, :H].astype(jnp.bfloat16), deq(w2_ref),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qs_ref[:, pl.ds(j * td, td)] = r1_ref[:, pl.ds(j * td, td)] + o
+
+        @pl.when(i == o_q - 1)
+        def _():
+            x_ref[:] = qs_ref[:, :D]
+            norm_into(xn_ref, qs_ref[:, :D], anx_ref[0])
+
+    @pl.when(i >= o_q)
+    def _():
+        xnb = xn_ref[:, :D].astype(jnp.bfloat16)
+
+        @pl.when(i < o_k)
+        def _():
+            y = jax.lax.dot_general(
+                xnb, deq(wq_ref), dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            qs_ref[:, pl.ds((i - o_q) * tq, tq)] = y
+
+        @pl.when((i >= o_k) & (i < o_v))
+        def _():
+            y = jax.lax.dot_general(
+                xnb, deq(wk_ref), dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ks_ref[:, pl.ds((i - o_k) * tk, tk)] = y
+
+        @pl.when(i >= o_v)
+        def _():
+            y = jax.lax.dot_general(
+                xnb, deq(wv_ref), dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            vs_ref[:, pl.ds((i - o_v) * tk, tk)] = y
+
+        @pl.when(i == n_all - 1)
+        def _():
+            q_ref[:] = qs_ref[:, :Qd]
+            k_ref[:] = ks_ref[:, :KVd]
+            v_ref[:] = vs_ref[:, :KVd]
+
+
+def _pick_rows(total: int, width_bytes: int, target: int = 2 << 20) -> int:
+    """Row-tile size: ~``target`` bytes per weight tile, 128-aligned.
+    2 MiB measured fastest on v5e for the byte-format supercall (sweep:
+    1 MiB 725, 1.5 MiB 723, 2 MiB 729, 3 MiB 698, 4 MiB 699, 5 MiB 687,
+    8 MiB 672 GB/s on the mistral7b-geometry chain) — small enough that
+    the per-step DMA hides, big enough to amortize step overhead."""
+    t = max(128, min(total, target // max(width_bytes, 1)))
+    return max(128, t // 128 * 128)
+
+
+@functools.partial(jax.jit, static_argnames=("fmt", "act_gelu", "eps",
+                                             "sub_mean", "interpret"))
+def _qx_offn_qkv(a, r, g, anx, wo, w1, w3, w2, wq, wk, wv, layer, fmt: str,
+                 act_gelu: bool, eps: float, sub_mean: bool,
+                 interpret: bool):
+    """a (B, Qd) f32 attention output; r (B, D) f32 residual; g/anx (L, D)
+    f32 norm weights; wo (L, D, Qd), w1/w3 (L, H, D), w2 (L, D, H),
+    wq (L, Qd, D), wk/wv (L, KVd, D) natural stacked weights in storage
+    dtype -> (x_new (B, D), q (B, Qd), k (B, KVd), v (B, KVd)), with
+    q/k/v projected from layer+1 (clamped at the top)."""
+    B, Qd = a.shape
+    L, D, _ = wo.shape
+    H = w1.shape[1]
+    KVd = wk.shape[1]
+    esz = 2 if fmt == "fp16" else 1
+
+    if fmt == "fp16":  # Mosaic has no f16: kernels decode raw bits
+        wo, w1, w3, w2, wq, wk, wv = [
+            jax.lax.bitcast_convert_type(x, jnp.uint16)
+            for x in (wo, w1, w3, w2, wq, wk, wv)]
+
+    tw = _pick_rows(D, Qd * esz)
+    th = _pick_rows(H, D * esz)
+    td = _pick_rows(D, H * esz)
+    tq = _pick_rows(Qd, D * esz)
+    tk = _pick_rows(KVd, D * esz)
+    t_wo, t_f1, t_f2 = pl.cdiv(D, tw), pl.cdiv(H, th), pl.cdiv(D, td)
+    t_q, t_k = pl.cdiv(Qd, tq), pl.cdiv(KVd, tk)
+    o_f1 = t_wo
+    o_f2 = o_f1 + t_f1
+    o_q = o_f2 + t_f2
+    o_k = o_q + t_q
+    o_v = o_k + t_k
+    n_all = o_v + t_k
+    grid = (n_all,)
+
+    wbytes = (D * Qd + 3 * H * D + (Qd + 2 * KVd) * D) * esz
+    cost = pl.CostEstimate(
+        flops=2 * B * wbytes // esz,
+        bytes_accessed=wbytes + 4 * B * (2 * D + Qd),
+        transcendentals=H * B)
+
+    def clamp(lo, n_t):
+        return lambda i: jnp.clip(i - lo, 0, n_t - 1)
+
+    i_wo, i_f1 = clamp(0, t_wo), clamp(o_f1, t_f1)
+    i_f2, i_q = clamp(o_f2, t_f2), clamp(o_q, t_q)
+    i_k, i_v = clamp(o_k, t_k), clamp(o_v, t_k)
+
+    # r rides padded to the widest row-tiling so in-kernel ds slices stay
+    # in bounds (consumers slice [:, :D] statically)
+    Dpad = max(t_wo * tw, t_f2 * td)
+    if Dpad > D:
+        r = jnp.pad(r, ((0, 0), (0, Dpad - D)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, Qd), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Dpad), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda i, l: (l[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D),
+                         lambda i, l: (jnp.minimum(l[0] + 1, L - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tw, Qd), lambda i, l: (l[0], i_wo(i), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, D), lambda i, l: (l[0], i_f1(i), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, D), lambda i, l: (l[0], i_f1(i), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, td, H), lambda i, l: (l[0], i_f2(i), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, D),
+                         lambda i, l: (jnp.minimum(l[0] + 1, L - 1),
+                                       i_q(i), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, D),
+                         lambda i, l: (jnp.minimum(l[0] + 1, L - 1),
+                                       i_k(i), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, D),
+                         lambda i, l: (jnp.minimum(l[0] + 1, L - 1),
+                                       i_v(i), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, D), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Qd), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KVd), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, KVd), lambda i, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, Dpad), jnp.float32),            # r1
+            pltpu.VMEM((B, D), jnp.float32),               # xn
+            pltpu.VMEM((B, t_f1 * th), jnp.float32),       # h
+            pltpu.VMEM((B, max(t_f2 * td, t_q * tq)), jnp.float32),  # qs
+            pltpu.VMEM((B, t_k * tk), jnp.float32),        # ks
+            pltpu.VMEM((B, t_k * tk), jnp.float32),        # vs
+        ])
+    return pl.pallas_call(
+        functools.partial(_qx_offn_qkv_kernel, fmt=fmt, tw=tw, th=th, td=td,
+                          tq=tq, tk=tk,
+                          offs=(o_f1, o_f2, o_q, o_k, o_v, n_all),
+                          D=D, H=H, Qd=Qd, KVd=KVd, act_gelu=act_gelu,
+                          eps=eps, sub_mean=sub_mean),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, Qd), jnp.float32),
+                   jax.ShapeDtypeStruct((B, KVd), jnp.float32),
+                   jax.ShapeDtypeStruct((B, KVd), jnp.float32)],
+        cost_estimate=cost,
+        compiler_params=_vmem_params(),
+        interpret=interpret,
+    )(layer.astype(jnp.int32)[None], a.astype(jnp.float32),
+      r.astype(jnp.float32), g[:, None], anx[:, None], wo, w1, w3, w2,
+      wq, wk, wv)
+
+
+def qx_offn_qkv(a, r, g, anx, wo, w1, w3, w2, wq, wk, wv, layer, fmt: str,
+                act_gelu: bool, eps: float, sub_mean: bool):
+    """Byte-format streaming supercall (see _qx_offn_qkv)."""
+    return _qx_offn_qkv(a, r, g, anx, wo, w1, w3, w2, wq, wk, wv,
+                        jnp.asarray(layer, jnp.int32), fmt, act_gelu,
+                        float(eps), sub_mean, _INTERPRET)
+
+
+def qx_offn_supported(cfg_dtype: str, B: int, shapes) -> bool:
+    """Eligibility: fp8/fp16, decode-sized batch, 128-aligned dims.
+    ``shapes`` = (D, H, Qd, KVd)."""
+    if cfg_dtype not in ("fp8", "fp16") or B > 16:
+        return False
+    return all(s % 128 == 0 for s in shapes)
 
 
 def gf4_offn_supported(a_shape, r_shape, wo_p, w1p, w2tp) -> bool:

@@ -634,3 +634,58 @@ def test_gf4_fused_decode_tpu_interpret(rng, moe):
         pallas_attn._INTERPRET = prev_a
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("fmt,sub_mean,b", [("fp8", False, 1),
+                                            ("fp8", True, 2),
+                                            ("fp16", False, 1)])
+def test_qx_offn_qkv(rng, fmt, sub_mean, b):
+    """Byte-format streaming supercall (wo + residual + ffn-norm + FFN +
+    next-layer attn-norm + q/k/v on NATURAL layouts) matches the
+    separate-op reference, including the l+1 -> L-1 clamp and partial
+    row tiles (H=384 vs the 128-row tiling)."""
+    import jax
+    import jax.numpy as jnp
+    from calm_tpu.ops.norms import rmsnorm
+
+    L, D, H, Qd, KVd = 2, 256, 384, 256, 128
+    eps = 1e-5
+
+    def mk(h, w_):
+        qts = [make_qt(rng, h, w_, fmt)[0] for _ in range(L)]
+        return qmm.QTensor(jnp.stack([q.data for q in qts]), fmt)
+
+    wo, w1, w3, w2 = mk(D, Qd), mk(H, D), mk(H, D), mk(D, H)
+    wq, wk, wv = mk(Qd, D), mk(KVd, D), mk(KVd, D)
+    g = (1.0 + rng.standard_normal((L, D)) * 0.1).astype(np.float32)
+    anx = (1.0 + rng.standard_normal((L, D)) * 0.1).astype(np.float32)
+    a = (rng.standard_normal((b, Qd)) * 0.5).astype(np.float32)
+    r = (rng.standard_normal((b, D)) * 0.5).astype(np.float32)
+
+    for l in range(L):
+        ln = min(l + 1, L - 1)
+        r1_want = r + np.asarray(qmm.qmatmul(jnp.asarray(a), wo[l]))
+        xn = np.asarray(rmsnorm(jnp.asarray(r1_want), jnp.asarray(g[l]),
+                                eps, subtract_mean=sub_mean))
+        h = np.asarray(jax.nn.silu(qmm.qmatmul(jnp.asarray(xn), w1[l]))
+                       * qmm.qmatmul(jnp.asarray(xn), w3[l]))
+        x_want = r1_want + np.asarray(qmm.qmatmul(jnp.asarray(h), w2[l]))
+        xq = np.asarray(rmsnorm(jnp.asarray(x_want), jnp.asarray(anx[ln]),
+                                eps, subtract_mean=sub_mean))
+        q_want = np.asarray(qmm.qmatmul(jnp.asarray(xq), wq[ln]))
+        k_want = np.asarray(qmm.qmatmul(jnp.asarray(xq), wk[ln]))
+        v_want = np.asarray(qmm.qmatmul(jnp.asarray(xq), wv[ln]))
+
+        x_got, q_got, k_got, v_got = pallas_qmm.qx_offn_qkv(
+            jnp.asarray(a), jnp.asarray(r), jnp.asarray(g),
+            jnp.asarray(anx), wo.data, w1.data, w3.data, w2.data,
+            wq.data, wk.data, wv.data, jnp.int32(l), fmt,
+            False, eps, sub_mean)
+        np.testing.assert_allclose(np.asarray(x_got), x_want,
+                                   rtol=5e-2, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(q_got), q_want,
+                                   rtol=5e-2, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(k_got), k_want,
+                                   rtol=5e-2, atol=5e-2)
+        np.testing.assert_allclose(np.asarray(v_got), v_want,
+                                   rtol=5e-2, atol=5e-2)

@@ -181,23 +181,22 @@ def test_tree_acceptance_at_least_linear(models):
     from calm_tpu.speculative import tree_speculative_generate
     target_path, _, _ = models
 
+    # correlated draft: the SAME weights (same seed, same geometry) gf4-
+    # quantized — the realistic speculation setup, where the draft's top-k
+    # usually covers the target's argmax even when its top-1 misses
     import os
     d = os.path.dirname(target_path)
     draft_q = os.path.join(d, "draft_gf4.calm")
     if not os.path.exists(draft_q):
-        write_tiny_model(draft_q, tiny_config(dtype="gf4", dim=64,
-                                              hidden_dim=64, head_dim=16,
-                                              rotary_dim=16,
-                                              vocab_size=272), seed=11)
-
-    # NOTE: the gf4 tiny model has its own geometry, so quantized-same-seed
-    # is NOT weight-correlated here — build the comparison on the fp16
-    # other-seed draft instead (identical conditions for both modes)
-    _, _, draft_other = models
+        write_tiny_model(draft_q, tiny_config(dtype="gf4"), seed=11)
     accs = {}
     for kk in (1, 3):
         got = tree_speculative_generate(Engine(target_path),
-                                        Engine(draft_other),
+                                        Engine(draft_q),
                                         PROMPT, steps=32, k=kk, m=4)
         accs[kk] = got.acceptance
+    # the wider tree must accept at least as much, and the run must have
+    # actually exercised acceptance — equality at zero would pass the
+    # inequality while testing nothing
     assert accs[3] >= accs[1]
+    assert accs[3] > 0.0, accs

@@ -50,6 +50,8 @@ def main(argv=None):
                     help="decode slots (attribute batched-serving glue)")
     ap.add_argument("--trace", default=None,
                     help="write a jax.profiler trace to this directory")
+    ap.add_argument("--prefill", type=int, default=0, metavar="T",
+                    help="trace a T-token prefill chunk instead of decode")
     args = ap.parse_args(argv)
 
     from calm_tpu.ops import qmm
@@ -75,16 +77,29 @@ def main(argv=None):
     kv_dtype = jnp.float8_e5m2 if cfg.seq_len > 4096 else jnp.bfloat16
     kv_bits = 8 if kv_dtype == jnp.float8_e5m2 else 16
 
-    def run():
-        cache = M.KVCache.create(cfg, args.batch, kv_dtype)
-        tok = jnp.zeros((args.batch,), jnp.int32)
-        pos = jnp.full((args.batch,), args.pos, jnp.int32)
-        t0 = time.perf_counter()
-        toks, _, _ = M.decode_scan(
-            cfg, w, tok, pos, cache, args.steps,
-            rolling=args.pos + args.steps >= cfg.seq_len)
-        np.asarray(toks)
-        return time.perf_counter() - t0
+    if args.prefill:
+        T = args.prefill
+
+        def run():
+            cache = M.KVCache.create(cfg, args.batch, kv_dtype)
+            tokens = jnp.zeros((args.batch, T), jnp.int32)
+            pos0 = jnp.zeros((args.batch,), jnp.int32)
+            t0 = time.perf_counter()
+            logits, cache2 = M.prefill(cfg, w, tokens, pos0, cache,
+                                       logits_mode="last")
+            np.asarray(logits)
+            return time.perf_counter() - t0
+    else:
+        def run():
+            cache = M.KVCache.create(cfg, args.batch, kv_dtype)
+            tok = jnp.zeros((args.batch,), jnp.int32)
+            pos = jnp.full((args.batch,), args.pos, jnp.int32)
+            t0 = time.perf_counter()
+            toks, _, _ = M.decode_scan(
+                cfg, w, tok, pos, cache, args.steps,
+                rolling=args.pos + args.steps >= cfg.seq_len)
+            np.asarray(toks)
+            return time.perf_counter() - t0
 
     run()  # compile
     best = min(run() for _ in range(3))
@@ -94,13 +109,19 @@ def main(argv=None):
     with trace_ctx:
         run()
 
-    ms_tok = best * 1000 / args.steps
-    print(roofline_report(cfg, ms_tok, kv_bits, args.pos))
+    if args.prefill:
+        print(f"# prefill T={args.prefill}: {best * 1e3:.1f} ms/chunk, "
+              f"{args.prefill / best:.0f} tok/s")
+        ms_tok = best * 1000 / args.prefill
+    else:
+        ms_tok = best * 1000 / args.steps
+        print(roofline_report(cfg, ms_tok, kv_bits, args.pos))
     if args.trace:
         # measured per-op table parsed from our own trace — the automated
         # equivalent of the reference's CUPTI report (cudaprof.cu:162-213)
         from calm_tpu.profiler import trace_table
-        print(trace_table(args.trace, cfg, steps=args.steps,
+        print(trace_table(args.trace, cfg,
+                          steps=1 if args.prefill else args.steps,
                           kv_bits=kv_bits, pos=args.pos))
         print(f"# trace written to {args.trace} (load with TensorBoard)")
 

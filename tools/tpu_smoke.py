@@ -45,7 +45,7 @@ from calm_tpu.utils.synth import synth_weights  # noqa: E402
 # numerics change: run this script and copy the printed hashes.
 GOLDEN_TPU = {
     "TPU v5 lite": {
-        "fp16 hidden=512 B=1": 0x78e883bc,
+        "fp16 hidden=512 B=1": 0xa1f5bcd0,
         "fp16 hidden=512 B=4": 0xee8145b8,
         "fp8 hidden=512 B=1": 0x10814e00,
         "fp8 hidden=512 B=4": 0x97ac6000,
