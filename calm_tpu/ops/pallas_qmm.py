@@ -263,6 +263,15 @@ def _gf4_mm_kernel(lref, xp_ref, w_ref, o_ref, planes_ref):
     o_ref[:] = acc  # xp arrives bf16; astype is a no-op kept for interpret
 
 
+def _balance_tile(d: int, td: int) -> int:
+    """Snap a row-tile down so the last tile isn't a sliver: d=4096 with
+    td=3456 leaves a 640-row tail that costs a near-full grid step; the
+    balanced 2048 splits evenly (measured on the prefill matmuls: the wo
+    call ran at 38%% MXU largely on tail waste)."""
+    n_t = pl.cdiv(d, td)
+    return min(td, ((d + n_t - 1) // n_t + 127) // 128 * 128)
+
+
 def mm_supported(x_shape, wdata, fmt: str) -> bool:
     """Row-blocked gf4 matmul eligibility: prefill-sized row counts (the
     <=16-row decode path keeps the matvec kernel; 17..31 stays on XLA)."""
@@ -281,14 +290,16 @@ def _qmm_mm_jit(stage: str):
     def fn(x, wdata, layer, interpret):
         R, n = x.shape
         L, d, np8 = wdata.shape
-        # row block: bounded by the xp block's VMEM footprint (~12 MiB at
+        # row block: bounded by the xp block's VMEM footprint (~8 MiB at
         # bf16 — the old 4 MiB f32 budget capped br at 72 rows for
         # 14336-wide hidden, starving the MXU: the w2t matmul traced
         # 5.0 ms/layer vs w1's 2.25 at T=2048). The block is fed bf16
         # (the kernel casts for the dot anyway): half the re-streamed
         # activation bytes per d-tile, twice the rows per step.
-        br = min(512, max(32, (12 << 20) // (2 * n) // 8 * 8), R)
-        td = _pick_tile(d, np8 * 4)
+        br = min(512, max(32, (8 << 20) // (2 * n) // 8 * 8), R)
+        if br > 128:
+            br = br // 128 * 128  # whole MXU M-passes (288 rows = 2.25)
+        td = _balance_tile(d, _pick_tile(d, np8 * 4))
         xp = x.astype(jnp.bfloat16).reshape(R, np8, 8).transpose(0, 2, 1)
         grid = (pl.cdiv(d, td), pl.cdiv(R, br))  # rows innermost
         cost = pl.CostEstimate(
@@ -332,12 +343,15 @@ def qmm_prefill(x: jax.Array, wdata: jax.Array, layer=None,
                               _INTERPRET)
 
 
-def _gf4_mmt_kernel(lref, hp_ref, w_ref, o_ref, planes_ref):
+def _gf4_mmt_kernel(lref, hp_ref, w_ref, o_ref, planes_ref, *, g_hp: int):
     """Word-transposed variant for the fused-FFN w2t/w2tp layout
     (L, H/8, D): each word at [c, d] packs the 8 h-planes of column 8c+k,
-    so decoded plane k is (H/8, D) and the dot contracts h's plane slice
-    against its LEADING axis. Same decode-once plane scratch as
-    _gf4_mm_kernel."""
+    so decoded plane k is (H/8, D). The planes stack at sublane offsets
+    k*H/8 of ONE (H, TD) scratch — h_perm's k-major order (h[k*(H/8)+c] =
+    h_nat[8c+k]) lines up with exactly that stacking, so the whole w2
+    contraction is ONE K=H MXU dot instead of 8 K=H/8 plane dots (the
+    8-dot form measured 44% MXU at T=2048: per-dot issue overhead and
+    shallow K; single-dot + decode-once scratch is the best of both)."""
     wu = pltpu.bitcast(w_ref[0], jnp.uint32)  # (HP, TD)
 
     @pl.when(pl.program_id(1) == 0)
@@ -345,17 +359,14 @@ def _gf4_mmt_kernel(lref, hp_ref, w_ref, o_ref, planes_ref):
         scale = _gf4_scale(wu)
         for k in range(8):
             codes = ((wu >> (8 + 3 * k)) & 7).astype(jnp.int32)
-            planes_ref[k] = ((codes.astype(jnp.float32) - 4.0)
-                             * scale).astype(jnp.bfloat16)
+            planes_ref[k * g_hp:(k + 1) * g_hp, :] = (
+                (codes.astype(jnp.float32) - 4.0) * scale
+            ).astype(jnp.bfloat16)
 
-    acc = None
-    for k in range(8):
-        d = jax.lax.dot_general(
-            hp_ref[:, k, :].astype(jnp.bfloat16), planes_ref[k],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = d if acc is None else acc + d
-    o_ref[:] = acc
+    o_ref[:] = jax.lax.dot_general(
+        hp_ref[:], planes_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -363,28 +374,33 @@ def _qmm_mmt_jit(stage: str):
     def fn(h_perm, words, layer, interpret):
         R, n = h_perm.shape          # n == H (k-major permuted order)
         L, Hp, D = words.shape
-        br = min(512, max(32, (12 << 20) // (2 * n) // 8 * 8), R)
-        td = _pick_tile(D, Hp * 4)
-        hp = h_perm.astype(jnp.bfloat16).reshape(R, 8, Hp)
+        # 8 MiB: 12 MiB measured 1.78M over the 100M scoped-VMEM cap at
+        # mistral shapes (block + double buffer + the (H, td) plane
+        # scratch); 8 MiB keeps ~290-row blocks on 14336-wide hidden
+        br = min(512, max(32, (8 << 20) // (2 * n) // 8 * 8), R)
+        if br > 128:
+            br = br // 128 * 128  # whole MXU M-passes (288 rows = 2.25)
+        td = _balance_tile(D, _pick_tile(D, Hp * 4))
+        hp = h_perm.astype(jnp.bfloat16)  # k-major flat (R, H), see kernel
         grid = (pl.cdiv(D, td), pl.cdiv(R, br))
         cost = pl.CostEstimate(
             flops=2 * R * D * n,
-            bytes_accessed=(Hp * D * 4 + 4 * R * n * pl.cdiv(D, td)
+            bytes_accessed=(Hp * D * 4 + 2 * R * n * pl.cdiv(D, td)
                             + 4 * R * D),
             transcendentals=0)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
             in_specs=[
-                pl.BlockSpec((br, 8, Hp), lambda j, i, l: (i, 0, 0),
+                pl.BlockSpec((br, n), lambda j, i, l: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, Hp, td), lambda j, i, l: (l[0], 0, j),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((br, td), lambda j, i, l: (i, j),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((8, Hp, td), jnp.bfloat16)])
+            scratch_shapes=[pltpu.VMEM((8 * Hp, td), jnp.bfloat16)])
         return pl.pallas_call(
-            _gf4_mmt_kernel,
+            functools.partial(_gf4_mmt_kernel, g_hp=Hp),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((R, D), jnp.float32),
             cost_estimate=cost,
