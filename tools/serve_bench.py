@@ -106,6 +106,16 @@ def main(argv=None):
                         for x in rng.integers(0, 999, tail_n))
         prompts.append((shared + " " + tail).strip())
 
+    # warmup: run a small request load first so every program variant
+    # (prefill chunks, decode at each occupancy, speculation rounds) is
+    # compiled before the measured pass — through the tunnel a cold
+    # compile is seconds-to-minutes and lands INSIDE TTFT otherwise (the
+    # first capture of this bench showed TTFT p50 = 329 s of pure jit)
+    warm = [srv.submit(p, max_tokens=4, temperature=args.temperature)
+            for p in prompts[: min(len(prompts), args.batch + 1)]]
+    srv.run_until_drained(max_ticks=100000)
+    assert all(r.done for r in warm)
+
     t0 = time.perf_counter()
     reqs = [srv.submit(p, max_tokens=args.max_tokens,
                        temperature=args.temperature) for p in prompts]
